@@ -1,0 +1,205 @@
+"""SE(3) rigid-transform operations (JAX).
+
+Poses are stored as (..., 3, 4) matrices (rotation | translation), the last
+row of the homogeneous matrix is implicit. All functions support arbitrary
+leading batch dimensions and are jit/vmap/grad friendly.
+
+Functional parity targets (see reference, cited for parity checking only):
+  - se3_init/cat/inv/transform/compare: src/utils/se3_torch.py:17-106
+  - compute_rigid_transform (weighted Kabsch): src/utils/se3_torch.py:109-163
+  - sinkhorn (log-domain, slack row/col):      src/utils/se3_torch.py:166-202
+  - compute_rigid_transform_with_sinkhorn:     src/utils/se3_torch.py:204-239
+
+TPU notes: the 3x3 covariance build and SVD run in float32 with
+`precision=HIGHEST` — bf16 matmul defaults would destroy pose accuracy.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-6
+
+# Matmul precision used for all pose-critical contractions.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def se3_init(rot: jnp.ndarray | None = None,
+             trans: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Build a (..., 3, 4) pose from rotation (..., 3, 3) and/or translation (..., 3, 1)."""
+    assert rot is not None or trans is not None
+    if rot is not None and trans is not None:
+        return jnp.concatenate([rot, trans], axis=-1)
+    if rot is None:
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=trans.dtype), trans.shape[:-2] + (3, 3))
+        return jnp.concatenate([eye, trans], axis=-1)
+    zeros = jnp.zeros(rot.shape[:-1] + (1,), dtype=rot.dtype)
+    return jnp.concatenate([rot, zeros], axis=-1)
+
+
+def se3_identity(batch_shape=(), dtype=jnp.float32) -> jnp.ndarray:
+    pose = jnp.concatenate([jnp.eye(3, dtype=dtype), jnp.zeros((3, 1), dtype=dtype)], axis=-1)
+    return jnp.broadcast_to(pose, tuple(batch_shape) + (3, 4))
+
+
+def se3_cat(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Compose two SE(3) transforms: result = a @ b (as homogeneous matrices)."""
+    rot_a, trans_a = a[..., :3, :3], a[..., :3, 3:4]
+    rot_b, trans_b = b[..., :3, :3], b[..., :3, 3:4]
+    rot = jnp.matmul(rot_a, rot_b, precision=_HI)
+    trans = jnp.matmul(rot_a, trans_b, precision=_HI) + trans_a
+    return se3_init(rot, trans)
+
+
+def se3_inv(pose: jnp.ndarray) -> jnp.ndarray:
+    rot, trans = pose[..., :3, :3], pose[..., :3, 3:4]
+    irot = jnp.swapaxes(rot, -1, -2)
+    itrans = -jnp.matmul(irot, trans, precision=_HI)
+    return se3_init(irot, itrans)
+
+
+def se3_transform(pose: jnp.ndarray, xyz: jnp.ndarray) -> jnp.ndarray:
+    """Apply rigid transform. pose: ([B,] 3, 4); xyz: ([B,] N, 3) -> ([B,] N, 3)."""
+    rot, trans = pose[..., :3, :3], pose[..., :3, 3:4]
+    transformed = jnp.einsum('...ij,...nj->...ni', rot, xyz, precision=_HI)
+    return transformed + jnp.swapaxes(trans, -1, -2)
+
+
+def se3_compare(a: jnp.ndarray, b: jnp.ndarray) -> dict:
+    """Rotation (deg) and translation errors between two pose sets."""
+    combined = se3_cat(a, se3_inv(b))
+    trace = combined[..., 0, 0] + combined[..., 1, 1] + combined[..., 2, 2]
+    rot_err_deg = jnp.degrees(jnp.arccos(jnp.clip(0.5 * (trace - 1.0), -1.0, 1.0)))
+    trans_err = jnp.linalg.norm(combined[..., :, 3], axis=-1)
+    return {'rot_deg': rot_err_deg, 'trans': trans_err}
+
+
+def rotation_to_axis_angle(rot: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, 3) rotation -> rotation angle in radians."""
+    trace = rot[..., 0, 0] + rot[..., 1, 1] + rot[..., 2, 2]
+    return jnp.arccos(jnp.clip(0.5 * (trace - 1.0), -1.0, 1.0))
+
+
+def compute_rigid_transform(a: jnp.ndarray, b: jnp.ndarray,
+                            weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Weighted Kabsch: least-squares rigid transform T with T*a ~= b.
+
+    Args:
+        a: (..., N, 3) source points.
+        b: (..., N, 3) target points (correspondences of `a`).
+        weights: (..., N) non-negative weights; zero-weight rows are ignored,
+            which is how padded correspondences are masked out.
+
+    Returns:
+        (..., 3, 4) pose.
+    """
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    if weights is None:
+        weights = jnp.ones(a.shape[:-1], dtype=jnp.float32)
+    weights = weights.astype(jnp.float32)
+
+    w = weights[..., None]
+    w_norm = w / jnp.maximum(jnp.sum(w, axis=-2, keepdims=True), _EPS)
+    centroid_a = jnp.sum(a * w_norm, axis=-2, keepdims=True)
+    centroid_b = jnp.sum(b * w_norm, axis=-2, keepdims=True)
+    a_c = a - centroid_a
+    b_c = b - centroid_b
+    # (..., 3, 3) covariance; weighted points on the b side.
+    cov = jnp.einsum('...ni,...nj->...ij', a_c, b_c * w_norm, precision=_HI)
+
+    rot = _kabsch_rotation_from_cov(cov)
+    translation = (-jnp.matmul(rot, jnp.swapaxes(centroid_a, -1, -2), precision=_HI)
+                   + jnp.swapaxes(centroid_b, -1, -2))
+    return jnp.concatenate([rot, translation], axis=-1)
+
+
+def _kabsch_rotation_from_cov(cov: jnp.ndarray) -> jnp.ndarray:
+    """SVD of the 3x3 covariance with +/- disambiguation on det to avoid reflections."""
+    u, s, vh = jnp.linalg.svd(cov, full_matrices=True)
+    v = jnp.swapaxes(vh, -1, -2)
+    ut = jnp.swapaxes(u, -1, -2)
+    rot_pos = jnp.matmul(v, ut, precision=_HI)
+    v_neg = v.at[..., :, 2].multiply(-1.0)
+    rot_neg = jnp.matmul(v_neg, ut, precision=_HI)
+    det = jnp.linalg.det(rot_pos)
+    return jnp.where(det[..., None, None] > 0, rot_pos, rot_neg)
+
+
+def sinkhorn_log(log_alpha: jnp.ndarray, n_iters: int = 5,
+                 slack: bool = True) -> jnp.ndarray:
+    """Log-domain Sinkhorn normalization with an optional slack row/column.
+
+    Args:
+        log_alpha: (B, J, K) log affinity matrix.
+        n_iters: number of row+column normalization rounds (static).
+        slack: add an (un-normalized) slack row and column so row/col sums can
+            be <= 1 (points without a match dump mass into the slack).
+
+    Returns:
+        (B, J, K) log of the (near) doubly-stochastic matrix, slack removed.
+    """
+    if not slack:
+        def body(carry, _):
+            la = carry
+            la = la - jax.scipy.special.logsumexp(la, axis=2, keepdims=True)
+            la = la - jax.scipy.special.logsumexp(la, axis=1, keepdims=True)
+            return la, None
+        out, _ = jax.lax.scan(body, log_alpha, None, length=n_iters)
+        return out
+
+    padded = jnp.pad(log_alpha, ((0, 0), (0, 1), (0, 1)))
+
+    def body(carry, _):
+        la = carry
+        # Row normalization, leaving the last (slack) row untouched.
+        row_norm = la - jax.scipy.special.logsumexp(la, axis=2, keepdims=True)
+        la = jnp.concatenate([row_norm[:, :-1, :], la[:, -1:, :]], axis=1)
+        # Column normalization, leaving the last (slack) column untouched.
+        col_norm = la - jax.scipy.special.logsumexp(la, axis=1, keepdims=True)
+        la = jnp.concatenate([col_norm[:, :, :-1], la[:, :, -1:]], axis=2)
+        return la, None
+
+    out, _ = jax.lax.scan(body, padded, None, length=n_iters)
+    return out[:, :-1, :-1]
+
+
+def compute_rigid_transform_with_sinkhorn(xyz_s: jnp.ndarray, xyz_t: jnp.ndarray,
+                                          affinity: jnp.ndarray, slack: bool,
+                                          n_iters: int,
+                                          row_mask: jnp.ndarray | None = None,
+                                          col_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Sinkhorn-weighted Procrustes.
+
+    Runs Sinkhorn on the affinity matrix, uses the resulting soft permutation
+    to compute weighted target coordinates for each source point, then solves
+    weighted Kabsch with row-sum confidence weights.
+
+    Args:
+        xyz_s: (B, N, 3) source points.
+        xyz_t: (B, M, 3) target points.
+        affinity: (B, N, M) log-affinity.
+        row_mask: (B, N) validity of source rows.
+        col_mask: (B, M) validity of target cols.
+    """
+    neg = jnp.asarray(-1e9, dtype=affinity.dtype)
+    if row_mask is not None:
+        affinity = jnp.where(row_mask[..., None], affinity, neg)
+    if col_mask is not None:
+        affinity = jnp.where(col_mask[..., None, :], affinity, neg)
+
+    log_perm = sinkhorn_log(affinity, n_iters=n_iters, slack=slack)
+    perm = jnp.exp(log_perm)
+    if row_mask is not None:
+        perm = perm * row_mask[..., None].astype(perm.dtype)
+    if col_mask is not None:
+        perm = perm * col_mask[..., None, :].astype(perm.dtype)
+
+    row_sum = jnp.sum(perm, axis=2)
+    weighted_t = jnp.matmul(perm, xyz_t, precision=_HI) / (row_sum[..., None] + _EPS)
+    return compute_rigid_transform(xyz_s, weighted_t, weights=row_sum)
+
+
+def transformation_residuals(a: jnp.ndarray, b: jnp.ndarray, pose: jnp.ndarray) -> jnp.ndarray:
+    """Per-point Euclidean residuals |T*a - b|: (..., N)."""
+    return jnp.linalg.norm(se3_transform(pose, a) - b, axis=-1)
