@@ -1,0 +1,79 @@
+"""Fixed-K radius neighbor search, fully on-device.
+
+Replaces the reference's C++ nanoflann radius search
+(src/models/backbone_kpconv/cpp_wrappers/cpp_neighbors/neighbors/
+neighbors.cpp:125-333) and its PyTorch3D ball_query GPU path
+(src/models/backbone_kpconv/kpconv.py:265-292).
+
+Output convention matches the reference's shadow-neighbor scheme: a (Nq, K)
+int32 index matrix where entry == Ns (number of support rows) means "no
+neighbor" — consumers gather from support arrays padded with one shadow row
+(features = 0, position = 1e6), exactly like kpconv_blocks.py:309,388.
+
+TPU-first design: brute-force squared distances computed as a (chunk, Ns)
+matmul on the MXU, then `top_k` for the K nearest within the radius. Unlike
+the reference GPU path (ball_query returns an *arbitrary* K neighbors), this
+returns the K *closest* — deterministic, and strictly better neighborhoods
+when the cap truncates. Queries are processed in chunks under `lax.map` to
+bound memory at (chunk x Ns).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def radius_knn(queries: jnp.ndarray, q_mask: jnp.ndarray,
+               supports: jnp.ndarray, s_mask: jnp.ndarray,
+               radius, k: int, chunk: int = 1024) -> jnp.ndarray:
+    """K-nearest neighbors within `radius`, shadow-padded to fixed K.
+
+    Args:
+        queries: (Nq, 3) float32 (padded rows arbitrary but finite).
+        q_mask: (Nq,) bool.
+        supports: (Ns, 3) float32.
+        s_mask: (Ns,) bool.
+        radius: search radius (scalar, may be traced).
+        k: static neighbor cap.
+        chunk: static query chunk size (Nq must be a multiple, or <= chunk).
+
+    Returns:
+        (Nq, K) int32 indices into supports; == Ns where there is no neighbor.
+    """
+    nq = queries.shape[0]
+    ns = supports.shape[0]
+
+    # Recenter for fp32 accuracy of the |q|^2 - 2qs + |s|^2 expansion.
+    denom = jnp.maximum(jnp.sum(s_mask.astype(jnp.float32)), 1.0)
+    center = jnp.sum(jnp.where(s_mask[:, None], supports, 0.0), axis=0) / denom
+    q = jnp.where(q_mask[:, None], queries - center, 0.0).astype(jnp.float32)
+    s = jnp.where(s_mask[:, None], supports - center, 0.0).astype(jnp.float32)
+
+    s_sq = jnp.sum(s * s, axis=-1)
+    s_sq = jnp.where(s_mask, s_sq, jnp.inf)  # invalid supports never match
+    r_sq = jnp.asarray(radius, jnp.float32) ** 2
+
+    def process(q_chunk, qm_chunk):
+        dots = jnp.matmul(q_chunk, s.T, precision=jax.lax.Precision.HIGHEST)
+        sqd = jnp.sum(q_chunk * q_chunk, axis=-1)[:, None] - 2.0 * dots + s_sq[None, :]
+        neg_vals, idx = jax.lax.top_k(-sqd, k)
+        ok = (-neg_vals <= r_sq) & qm_chunk[:, None]
+        return jnp.where(ok, idx, ns).astype(jnp.int32)
+
+    if nq <= chunk:
+        return process(q, q_mask)
+
+    assert nq % chunk == 0, f"query budget {nq} must be a multiple of chunk {chunk}"
+    n_chunks = nq // chunk
+    out = jax.lax.map(
+        lambda t: process(*t),
+        (q.reshape(n_chunks, chunk, 3), q_mask.reshape(n_chunks, chunk)))
+    return out.reshape(nq, k)
+
+
+# Batched over clouds: (B, Nq, 3), (B, Nq), (B, Ns, 3), (B, Ns) -> (B, Nq, K)
+radius_knn_batch = jax.vmap(radius_knn, in_axes=(0, 0, 0, 0, None, None, None),
+                            out_axes=0)

@@ -1,0 +1,141 @@
+"""Fixed-shape KPConv pyramid preprocessing, fully on-device under one jit.
+
+Replaces the reference Preprocessor / PreprocessorGPU
+(src/models/backbone_kpconv/kpconv.py:295-549): walking the architecture
+string list, it computes per-level subsampled points, conv-neighbor indices,
+pooling indices and (optionally) upsample indices.
+
+TPU-first differences from the reference:
+  * Everything operates on (B, N_l, ...) mask-padded stacks with STATIC
+    per-level budgets — no ragged packed tensors, no host round trips. The
+    whole pyramid build jits and fuses with the model forward.
+  * Deterministic: voxel ordering is lexicographic, neighbor lists are
+    distance-sorted (the reference GPU path is explicitly nondeterministic,
+    kpconv.py:421-424).
+  * `upsamples` are only computed when requested — RegTR never uses them
+    (the KPFDecoder is unused, kpconv.py:95-168).
+
+The B axis stacks all clouds in the batch: for pair registration the caller
+stacks [src_0..src_{P-1}, tgt_0..tgt_{P-1}] so B = 2P, mirroring the
+reference's `src_xyz + tgt_xyz` concatenation (qk_regtr_full.py:152).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .neighbors import radius_knn_batch
+from .subsample import voxel_subsample_batch
+
+
+@dataclasses.dataclass(frozen=True)
+class PyramidSpec:
+    """Static description of the preprocessing pyramid, derived from config.
+
+    Mirrors the reference's architecture walk (kpconv.py:462-539): one entry
+    per pyramid level; level l has conv neighbors at `radii[l]` and (except
+    the last level) a strided pool to level l+1 computed at the same radius,
+    with the next level's points from a voxel grid of size `voxel_sizes[l+1]`.
+    """
+    num_levels: int
+    voxel_sizes: tuple            # len L; [0] is the input voxel size (informational)
+    radii: tuple                  # len L; conv radius at each level
+    neighbor_limits: tuple        # len L; K at each level
+    budgets: tuple                # len L; static N_l point budgets
+
+    @staticmethod
+    def from_config(cfg, budgets: Sequence[int] | None = None) -> "PyramidSpec":
+        """Build from a flat config namespace (same keys as the reference YAML:
+        architecture, first_subsampling_dl, conv_radius, neighborhood_limits)."""
+        arch = cfg.architecture
+        if any('deform' in b for b in arch):
+            raise NotImplementedError("deformable KPConv not supported")
+        if any(('global' in b) or ('upsample' in b) for b in arch):
+            raise NotImplementedError("encoder-only architectures expected")
+
+        num_strided = sum(1 for b in arch if ('pool' in b or 'strided' in b))
+        num_levels = num_strided + 1
+
+        dl0 = float(cfg.first_subsampling_dl)
+        conv_r = float(cfg.conv_radius)
+        voxel_sizes = tuple(dl0 * (2 ** l) for l in range(num_levels))
+        radii = tuple(dl0 * conv_r * (2 ** l) for l in range(num_levels))
+        limits = tuple(int(x) for x in cfg.neighborhood_limits[:num_levels])
+
+        if budgets is None:
+            budgets = getattr(cfg, 'level_budgets', None)
+        if budgets is None:
+            raise ValueError("level_budgets must be set in the config "
+                             "(static per-level point budgets)")
+        budgets = tuple(int(b) for b in budgets[:num_levels])
+        assert len(budgets) == num_levels, \
+            f"need {num_levels} budgets, got {len(budgets)}"
+        return PyramidSpec(num_levels, voxel_sizes, radii, limits, budgets)
+
+
+@partial(jax.jit, static_argnames=("spec", "need_upsamples", "chunk"))
+def build_pyramid(points: jnp.ndarray, mask: jnp.ndarray, spec: PyramidSpec,
+                  need_upsamples: bool = False, chunk: int = 1024) -> dict:
+    """Compute the full multi-level KPConv metadata for a stack of clouds.
+
+    Args:
+        points: (B, N_0, 3) float32 mask-padded clouds, N_0 == spec.budgets[0].
+        mask: (B, N_0) bool.
+        spec: static PyramidSpec.
+        need_upsamples: also compute nearest-upsample indices (decoder only).
+        chunk: query chunk size for neighbor search.
+
+    Returns:
+        dict of per-level lists (all static shapes):
+          points[l]:    (B, N_l, 3)
+          masks[l]:     (B, N_l) bool
+          lengths[l]:   (B,) int32 valid counts
+          neighbors[l]: (B, N_l, K_l) int32 into level-l supports, shadow==N_l
+          pools[l]:     (B, N_{l+1}, K_l) int32 into level-l, l in [0, L-2]
+          upsamples[l]: (B, N_l, K_l) int32 into level l+1, if requested
+          n_voxels[l]:  (B,) int32 true occupied-voxel count (overflow check)
+    """
+    assert points.shape[1] == spec.budgets[0], \
+        f"input budget mismatch: {points.shape[1]} vs {spec.budgets[0]}"
+
+    L = spec.num_levels
+    meta = {
+        'points': [points], 'masks': [mask],
+        'lengths': [jnp.sum(mask.astype(jnp.int32), axis=1)],
+        'neighbors': [], 'pools': [], 'upsamples': [],
+        'n_voxels': [jnp.sum(mask.astype(jnp.int32), axis=1)],
+    }
+
+    for l in range(L):
+        pts_l, mask_l = meta['points'][l], meta['masks'][l]
+        # Conv neighbors within the level.
+        meta['neighbors'].append(radius_knn_batch(
+            pts_l, mask_l, pts_l, mask_l, spec.radii[l],
+            spec.neighbor_limits[l], chunk))
+
+        if l + 1 < L:
+            # dl = 2 * r_normal / conv_radius == voxel_sizes[l+1]  (kpconv.py:498)
+            sub_pts, sub_mask, n_vox = voxel_subsample_batch(
+                pts_l, mask_l, spec.voxel_sizes[l + 1], spec.budgets[l + 1])
+            # Pool: neighbors of the subsampled points among level-l points,
+            # searched at the *current* level radius (kpconv.py:511).
+            pools = radius_knn_batch(sub_pts, sub_mask, pts_l, mask_l,
+                                     spec.radii[l], spec.neighbor_limits[l],
+                                     chunk)
+            meta['pools'].append(pools)
+            if need_upsamples:
+                # Upsample: level-l queries over level-(l+1) supports at 2r
+                # (kpconv.py:515-516).
+                meta['upsamples'].append(radius_knn_batch(
+                    pts_l, mask_l, sub_pts, sub_mask, 2.0 * spec.radii[l],
+                    spec.neighbor_limits[l], chunk))
+            meta['points'].append(sub_pts)
+            meta['masks'].append(sub_mask)
+            meta['lengths'].append(jnp.sum(sub_mask.astype(jnp.int32), axis=1))
+            meta['n_voxels'].append(n_vox)
+
+    return meta

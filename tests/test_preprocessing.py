@@ -1,0 +1,200 @@
+"""Parity tests for on-device voxel subsampling, radius-kNN and the pyramid."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from superpoints_registration_tpu.ops.subsample import voxel_subsample, voxel_subsample_batch
+from superpoints_registration_tpu.ops.neighbors import radius_knn, radius_knn_batch
+from superpoints_registration_tpu.ops.pyramid import PyramidSpec, build_pyramid
+
+from oracle_np import voxel_subsample_oracle, radius_neighbors_oracle
+
+
+def pad_cloud(pts, budget):
+    n = len(pts)
+    out = np.zeros((budget, 3), np.float32)
+    out[:n] = pts
+    mask = np.zeros(budget, bool)
+    mask[:n] = True
+    return out, mask
+
+
+class TestVoxelSubsample:
+    def test_matches_oracle(self, rng):
+        pts = rng.normal(size=(500, 3)).astype(np.float32)
+        expected = voxel_subsample_oracle(pts.astype(np.float64), 0.3)
+        padded, mask = pad_cloud(pts, 512)
+        out, out_mask, n_vox = voxel_subsample(jnp.asarray(padded), jnp.asarray(mask),
+                                               0.3, 512)
+        out, out_mask = np.asarray(out), np.asarray(out_mask)
+        assert int(n_vox) == len(expected)
+        assert out_mask.sum() == len(expected)
+        np.testing.assert_allclose(out[out_mask], expected, atol=1e-5)
+        # padded slots zeroed
+        assert np.all(out[~out_mask] == 0)
+
+    def test_single_voxel(self):
+        pts = np.full((10, 3), 0.05, np.float32)
+        padded, mask = pad_cloud(pts, 16)
+        out, out_mask, n_vox = voxel_subsample(jnp.asarray(padded), jnp.asarray(mask),
+                                               1.0, 16)
+        assert int(n_vox) == 1
+        np.testing.assert_allclose(np.asarray(out)[0], 0.05, atol=1e-6)
+
+    def test_budget_overflow_drops_and_reports(self, rng):
+        pts = rng.normal(size=(100, 3)).astype(np.float32) * 100  # all distinct voxels
+        padded, mask = pad_cloud(pts, 128)
+        out, out_mask, n_vox = voxel_subsample(jnp.asarray(padded), jnp.asarray(mask),
+                                               0.1, 32)
+        assert int(n_vox) == 100
+        assert np.asarray(out_mask).sum() == 32
+
+    def test_all_invalid(self):
+        padded = np.zeros((16, 3), np.float32)
+        mask = np.zeros(16, bool)
+        out, out_mask, n_vox = voxel_subsample(jnp.asarray(padded), jnp.asarray(mask),
+                                               0.1, 8)
+        assert int(n_vox) == 0
+        assert not np.asarray(out_mask).any()
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_negative_coordinates(self, rng):
+        pts = (rng.normal(size=(200, 3)) - 5.0).astype(np.float32)
+        expected = voxel_subsample_oracle(pts.astype(np.float64), 0.25)
+        padded, mask = pad_cloud(pts, 256)
+        out, out_mask, n_vox = voxel_subsample(jnp.asarray(padded), jnp.asarray(mask),
+                                               0.25, 256)
+        assert int(n_vox) == len(expected)
+        np.testing.assert_allclose(np.asarray(out)[np.asarray(out_mask)], expected,
+                                   atol=1e-5)
+
+    def test_batched(self, rng):
+        clouds = [rng.normal(size=(300 + 50 * i, 3)).astype(np.float32) for i in range(3)]
+        padded = np.stack([pad_cloud(c, 512)[0] for c in clouds])
+        masks = np.stack([pad_cloud(c, 512)[1] for c in clouds])
+        out, out_mask, n_vox = voxel_subsample_batch(jnp.asarray(padded),
+                                                     jnp.asarray(masks), 0.3, 512)
+        for b, c in enumerate(clouds):
+            expected = voxel_subsample_oracle(c.astype(np.float64), 0.3)
+            assert int(n_vox[b]) == len(expected)
+            np.testing.assert_allclose(np.asarray(out[b])[np.asarray(out_mask[b])],
+                                       expected, atol=1e-5)
+
+
+class TestRadiusKnn:
+    def test_matches_oracle_sets(self, rng):
+        q = rng.normal(size=(100, 3)).astype(np.float32)
+        s = rng.normal(size=(200, 3)).astype(np.float32)
+        k, radius = 12, 0.5
+        qp, qm = pad_cloud(q, 128)
+        sp, sm = pad_cloud(s, 256)
+        got = np.asarray(radius_knn(jnp.asarray(qp), jnp.asarray(qm),
+                                    jnp.asarray(sp), jnp.asarray(sm), radius, k))
+        expected = radius_neighbors_oracle(q.astype(np.float64), s.astype(np.float64),
+                                           radius, k)
+        for i in range(100):
+            got_set = set(got[i][got[i] < 256].tolist())
+            exp_set = set(expected[i][expected[i] < 200].tolist())
+            # fp32 distance expansion can flip borderline in/out; allow 1 difference
+            assert len(got_set ^ exp_set) <= 1, f"row {i}: {got_set} vs {exp_set}"
+        # padded queries are all-shadow
+        assert np.all(got[100:] == 256)
+
+    def test_closest_first_ordering(self, rng):
+        q = np.zeros((1, 3), np.float32)
+        s = rng.normal(size=(50, 3)).astype(np.float32)
+        qp, qm = pad_cloud(q, 8)
+        sp, sm = pad_cloud(s, 64)
+        got = np.asarray(radius_knn(jnp.asarray(qp), jnp.asarray(qm),
+                                    jnp.asarray(sp), jnp.asarray(sm), 10.0, 5))
+        d = np.linalg.norm(s, axis=1)
+        np.testing.assert_array_equal(got[0], np.argsort(d, kind='stable')[:5])
+
+    def test_shadow_when_no_neighbors(self):
+        q = np.array([[100.0, 100, 100]], np.float32)
+        s = np.zeros((10, 3), np.float32)
+        qp, qm = pad_cloud(q, 8)
+        sp, sm = pad_cloud(s, 16)
+        got = np.asarray(radius_knn(jnp.asarray(qp), jnp.asarray(qm),
+                                    jnp.asarray(sp), jnp.asarray(sm), 0.5, 4))
+        assert np.all(got[0] == 16)
+
+    def test_chunked_equals_unchunked(self, rng):
+        q = rng.normal(size=(256, 3)).astype(np.float32)
+        s = rng.normal(size=(128, 3)).astype(np.float32)
+        qm = np.ones(256, bool)
+        sm = np.ones(128, bool)
+        a = np.asarray(radius_knn(jnp.asarray(q), jnp.asarray(qm), jnp.asarray(s),
+                                  jnp.asarray(sm), 0.7, 8, chunk=64))
+        b = np.asarray(radius_knn(jnp.asarray(q), jnp.asarray(qm), jnp.asarray(s),
+                                  jnp.asarray(sm), 0.7, 8, chunk=1024))
+        np.testing.assert_array_equal(a, b)
+
+
+class TestPyramid:
+    def _cfg(self):
+        class Cfg:
+            architecture = ['simple', 'resnetb', 'resnetb_strided', 'resnetb',
+                            'resnetb', 'resnetb_strided', 'resnetb', 'resnetb']
+            first_subsampling_dl = 0.06
+            conv_radius = 2.5
+            neighborhood_limits = [16, 16, 16]
+            level_budgets = [512, 512, 256]
+        return Cfg()
+
+    def test_spec_from_config(self):
+        spec = PyramidSpec.from_config(self._cfg())
+        assert spec.num_levels == 3
+        np.testing.assert_allclose(spec.voxel_sizes, [0.06, 0.12, 0.24])
+        np.testing.assert_allclose(spec.radii, [0.15, 0.3, 0.6])
+        assert spec.budgets == (512, 512, 256)
+
+    def test_build_pyramid_shapes_and_consistency(self, rng):
+        spec = PyramidSpec.from_config(self._cfg())
+        clouds = [rng.normal(size=(400, 3)).astype(np.float32) * 0.5 for _ in range(2)]
+        pts = np.stack([pad_cloud(c, 512)[0] for c in clouds])
+        mask = np.stack([pad_cloud(c, 512)[1] for c in clouds])
+        meta = build_pyramid(jnp.asarray(pts), jnp.asarray(mask), spec)
+
+        assert len(meta['points']) == 3
+        assert meta['points'][1].shape == (2, 512, 3)
+        assert meta['neighbors'][0].shape == (2, 512, 16)
+        assert meta['pools'][0].shape == (2, 512, 16)
+        assert meta['upsamples'] == []
+
+        for b, c in enumerate(clouds):
+            # Level-1 points match oracle subsample of the true cloud
+            expected = voxel_subsample_oracle(c.astype(np.float64), 0.12)
+            lvl1_mask = np.asarray(meta['masks'][1][b])
+            np.testing.assert_allclose(np.asarray(meta['points'][1][b])[lvl1_mask],
+                                       expected, atol=1e-5)
+            # Neighbor indices at level 0: shadow or valid support rows
+            nb = np.asarray(meta['neighbors'][0][b])
+            valid_nb = nb[nb < 512]
+            assert np.all(np.asarray(meta['masks'][0][b])[valid_nb])
+            # Every valid level-0 point should find itself (distance 0)
+            row_ids = np.arange(512)[np.asarray(meta['masks'][0][b])]
+            assert np.all(nb[row_ids, 0] == row_ids)
+
+    def test_pool_indices_within_radius(self, rng):
+        spec = PyramidSpec.from_config(self._cfg())
+        c = rng.normal(size=(400, 3)).astype(np.float32) * 0.5
+        pts, mask = pad_cloud(c, 512)
+        meta = build_pyramid(jnp.asarray(pts[None]), jnp.asarray(mask[None]), spec)
+        pools = np.asarray(meta['pools'][0][0])
+        lvl1 = np.asarray(meta['points'][1][0])
+        lvl1_mask = np.asarray(meta['masks'][1][0])
+        for i in np.nonzero(lvl1_mask)[0][:50]:
+            nbrs = pools[i][pools[i] < 512]
+            if len(nbrs):
+                d = np.linalg.norm(c[nbrs] - lvl1[i], axis=1)
+                assert np.all(d <= 0.15 + 1e-4)
+
+    def test_upsamples_optional(self, rng):
+        spec = PyramidSpec.from_config(self._cfg())
+        c = rng.normal(size=(100, 3)).astype(np.float32)
+        pts, mask = pad_cloud(c, 512)
+        meta = build_pyramid(jnp.asarray(pts[None]), jnp.asarray(mask[None]), spec,
+                             need_upsamples=True)
+        assert len(meta['upsamples']) == 2
+        assert meta['upsamples'][0].shape == (1, 512, 16)
