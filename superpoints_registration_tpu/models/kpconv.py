@@ -1,0 +1,326 @@
+"""Kernel Point Convolution backbone, mask-based and fixed-shape.
+
+Re-design of the reference KPConv stack (src/models/backbone_kpconv/
+kpconv_blocks.py:175-787, kpconv.py:22-168) for TPU:
+
+  * operates on (B, N, C) mask-padded per-cloud stacks instead of packed
+    ragged tensors — every op is a batched gather/matmul XLA can tile on
+    the MXU;
+  * shadow neighbors (index == N) gather a zero-feature / far-away row,
+    matching the reference convention (kpconv_blocks.py:309, 388);
+  * kernel-point distances are computed via the |a-b|^2 expansion, so the
+    (B, N, K, Kp) influence tensor comes from one MXU matmul rather than a
+    materialized (B, N, K, Kp, 3) difference tensor;
+  * "batch norm" is the reference's per-cloud instance norm, implemented
+    with masks (common.masked_instance_norm).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import numpy as np
+
+from ..ops.kernel_points import load_kernel_points
+from .common import kpconv_weight_init, leaky_relu, masked_instance_norm, torch_linear_init
+
+_SHADOW_DIST = 1e6
+
+
+def gather_rows(x: jnp.ndarray, idx: jnp.ndarray, pad_value: float = 0.0) -> jnp.ndarray:
+    """Gather rows of x (B, N, C) by idx (B, Q, K) with shadow index == N.
+
+    Returns (B, Q, K, C); shadow entries filled with `pad_value`.
+    """
+    b, n, c = x.shape
+    _, q, k = idx.shape
+    pad = jnp.full((b, 1, c), pad_value, dtype=x.dtype)
+    x_pad = jnp.concatenate([x, pad], axis=1)
+    flat = idx.reshape(b, q * k, 1)
+    out = jnp.take_along_axis(x_pad, flat, axis=1)
+    return out.reshape(b, q, k, c)
+
+
+def max_pool(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Max over gathered neighbor features; shadow rows contribute 0
+    (kpconv_blocks.py:127-143 pads with zeros, so outputs are floored at 0)."""
+    gathered = gather_rows(x, idx, pad_value=0.0)
+    return jnp.max(gathered, axis=2)
+
+
+def closest_pool(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Pool from the closest (first) neighbor (kpconv_blocks.py:112-124)."""
+    return gather_rows(x, idx[:, :, :1], pad_value=0.0)[:, :, 0]
+
+
+class KPConvOp(nn.Module):
+    """The kernel point convolution op (kpconv_blocks.py:175-414, rigid only).
+
+    Shapes: q_pts (B, Nq, 3), s_pts (B, Ns, 3), neighb (B, Nq, K) with
+    shadow == Ns, x (B, Ns, C_in) -> (B, Nq, C_out).
+    """
+    num_kernel_points: int
+    in_channels: int
+    out_channels: int
+    kp_extent: float
+    radius: float
+    fixed_kernel_points: str = 'center'
+    kp_influence: str = 'linear'
+    aggregation_mode: str = 'sum'
+    kp_seed: int = 0
+
+    @nn.compact
+    def __call__(self, q_pts, s_pts, neighb_inds, x):
+        kp = jnp.asarray(load_kernel_points(
+            self.radius, self.num_kernel_points, dimension=3,
+            fixed=self.fixed_kernel_points, seed=self.kp_seed))  # (Kp, 3)
+        weights = self.param(
+            'weights', kpconv_weight_init(self.in_channels * self.out_channels),
+            (self.num_kernel_points, self.in_channels, self.out_channels))
+
+        # Neighbor coords relative to query; shadow rows land far away.
+        neighbors = gather_rows(s_pts, neighb_inds, pad_value=_SHADOW_DIST)
+        rel = neighbors - q_pts[:, :, None, :]  # (B, Nq, K, 3)
+
+        # sq_distances to kernel points via expansion: one MXU matmul.
+        rel_sq = jnp.sum(rel * rel, axis=-1, keepdims=True)       # (B,Nq,K,1)
+        kp_sq = jnp.sum(kp * kp, axis=-1)                          # (Kp,)
+        cross = jnp.einsum('bnkd,pd->bnkp', rel, kp)               # (B,Nq,K,Kp)
+        sq_distances = jnp.maximum(rel_sq - 2.0 * cross + kp_sq, 0.0)
+
+        if self.kp_influence == 'constant':
+            all_weights = jnp.ones_like(sq_distances)
+        elif self.kp_influence == 'linear':
+            all_weights = jnp.clip(1.0 - jnp.sqrt(sq_distances) / self.kp_extent,
+                                   0.0, None)
+        elif self.kp_influence == 'gaussian':
+            sigma = self.kp_extent * 0.3
+            all_weights = jnp.exp(-sq_distances / (2 * sigma ** 2 + 1e-9))
+        else:
+            raise ValueError(self.kp_influence)
+
+        if self.aggregation_mode == 'closest':
+            closest = jnp.argmin(sq_distances, axis=-1)
+            onehot = jax.nn.one_hot(closest, self.num_kernel_points,
+                                    dtype=all_weights.dtype)
+            all_weights = all_weights * onehot
+        elif self.aggregation_mode != 'sum':
+            raise ValueError(self.aggregation_mode)
+
+        neighb_x = gather_rows(x, neighb_inds, pad_value=0.0)  # (B, Nq, K, C_in)
+
+        # (B,Nq,Kp,K) @ (B,Nq,K,C) -> (B,Nq,Kp,C); then contract kernel dim.
+        weighted = jnp.einsum('bnkp,bnkc->bnpc', all_weights, neighb_x)
+        out = jnp.einsum('bnpc,pcd->bnd', weighted, weights,
+                         preferred_element_type=jnp.float32)
+
+        # Normalize by the number of contributing neighbors: the reference
+        # counts rows whose feature-sum > 0 (kpconv_blocks.py:409-412), which
+        # excludes shadow rows (zero features).
+        contrib = jnp.sum(jnp.sum(neighb_x, axis=-1) > 0.0, axis=-1)
+        contrib = jnp.maximum(contrib, 1).astype(out.dtype)
+        return out / contrib[..., None]
+
+
+class UnaryBlock(nn.Module):
+    """Linear (no bias) + per-cloud instance norm + LeakyReLU(0.1)
+    (kpconv_blocks.py:533-567)."""
+    out_dim: int
+    use_norm: bool = True
+    no_relu: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask):
+        fan_in = x.shape[-1]
+        x = nn.Dense(self.out_dim, use_bias=False,
+                     kernel_init=torch_linear_init(fan_in))(x)
+        if self.use_norm:
+            x = masked_instance_norm(x, mask)
+        else:
+            x = x + self.param('bias', nn.initializers.zeros, (self.out_dim,))
+        if not self.no_relu:
+            x = leaky_relu(x)
+        return x
+
+
+class SimpleBlock(nn.Module):
+    """KPConv -> norm -> LeakyReLU, outputting out_dim // 2 channels
+    (kpconv_blocks.py:590-646)."""
+    block_name: str
+    in_dim: int
+    out_dim: int
+    radius: float
+    layer_ind: int
+    config: Any
+    kp_seed: int = 0
+
+    @nn.compact
+    def __call__(self, x, meta):
+        cfg = self.config
+        current_extent = self.radius * cfg.KP_extent / cfg.conv_radius
+        strided = 'strided' in self.block_name
+        l = self.layer_ind
+        q_level = l + 1 if strided else l
+        q_pts = meta['points'][q_level]
+        s_pts = meta['points'][l]
+        inds = meta['pools'][l] if strided else meta['neighbors'][l]
+        out_mask = meta['masks'][q_level]
+
+        x = KPConvOp(cfg.num_kernel_points, self.in_dim, self.out_dim // 2,
+                     current_extent, self.radius,
+                     fixed_kernel_points=cfg.fixed_kernel_points,
+                     kp_influence=cfg.KP_influence,
+                     aggregation_mode=cfg.aggregation_mode,
+                     kp_seed=self.kp_seed)(q_pts, s_pts, inds, x)
+        x = masked_instance_norm(x, out_mask) if cfg.use_batch_norm else x
+        return leaky_relu(x)
+
+
+class ResnetBottleneckBlock(nn.Module):
+    """unary1 -> KPConv -> unary2 + (max-pooled) shortcut
+    (kpconv_blocks.py:649-741)."""
+    block_name: str
+    in_dim: int
+    out_dim: int
+    radius: float
+    layer_ind: int
+    config: Any
+    kp_seed: int = 0
+
+    @nn.compact
+    def __call__(self, x, meta):
+        cfg = self.config
+        current_extent = self.radius * cfg.KP_extent / cfg.conv_radius
+        strided = 'strided' in self.block_name
+        l = self.layer_ind
+        q_level = l + 1 if strided else l
+        q_pts = meta['points'][q_level]
+        s_pts = meta['points'][l]
+        inds = meta['pools'][l] if strided else meta['neighbors'][l]
+        in_mask = meta['masks'][l]
+        out_mask = meta['masks'][q_level]
+
+        mid = self.out_dim // 4
+        h = UnaryBlock(mid, use_norm=cfg.use_batch_norm)(x, in_mask) \
+            if self.in_dim != mid else x
+
+        h = KPConvOp(cfg.num_kernel_points, mid, mid, current_extent,
+                     self.radius, fixed_kernel_points=cfg.fixed_kernel_points,
+                     kp_influence=cfg.KP_influence,
+                     aggregation_mode=cfg.aggregation_mode,
+                     kp_seed=self.kp_seed)(q_pts, s_pts, inds, h)
+        h = masked_instance_norm(h, out_mask) if cfg.use_batch_norm else h
+        h = leaky_relu(h)
+
+        h = UnaryBlock(self.out_dim, use_norm=cfg.use_batch_norm,
+                       no_relu=True)(h, out_mask)
+
+        shortcut = max_pool(x, inds) if strided else x
+        if self.in_dim != self.out_dim:
+            shortcut = UnaryBlock(self.out_dim, use_norm=cfg.use_batch_norm,
+                                  no_relu=True)(shortcut, out_mask)
+        return leaky_relu(h + shortcut)
+
+
+class NearestUpsampleBlock(nn.Module):
+    """Upsample by gathering the closest coarse point (kpconv_blocks.py:757-772)."""
+    layer_ind: int
+
+    def __call__(self, x, meta):
+        return closest_pool(x, meta['upsamples'][self.layer_ind - 1])
+
+
+def encoder_plan(cfg) -> tuple:
+    """Walk cfg.architecture and produce the static block plan + skip dims,
+    mirroring KPFEncoder.__init__ (kpconv.py:22-79).
+
+    Returns (blocks, skip_dims, skip_idx): blocks is a list of dicts with
+    keys {name, in_dim, out_dim, radius, layer_ind}.
+    """
+    blocks = []
+    skip_dims, skip_idx = [], []
+    r = cfg.first_subsampling_dl * cfg.conv_radius
+    in_dim, out_dim = cfg.in_feats_dim, cfg.first_feats_dim
+    layer = 0
+    for block_i, block in enumerate(cfg.architecture):
+        if any(t in block for t in ('pool', 'strided', 'upsample', 'global')):
+            skip_idx.append(block_i)
+            skip_dims.append(in_dim)
+        if 'upsample' in block:
+            break
+        blocks.append(dict(name=block, in_dim=in_dim, out_dim=out_dim,
+                           radius=r, layer_ind=layer))
+        in_dim = out_dim // 2 if 'simple' in block else out_dim
+        if 'pool' in block or 'strided' in block:
+            layer += 1
+            r *= 2
+            out_dim *= 2
+    else:
+        skip_idx.append(len(cfg.architecture) - 1)
+        skip_dims.append(in_dim)
+    return blocks, skip_dims, skip_idx
+
+
+class KPFEncoder(nn.Module):
+    """The KPConv encoder: stack of simple/resnetb blocks over the pyramid
+    (kpconv.py:22-92). Returns (final_feats, skip_feats)."""
+    config: Any
+
+    def setup(self):
+        plan, skip_dims, skip_idx = encoder_plan(self.config)
+        self.skip_dims = skip_dims
+        self.skip_idx = tuple(skip_idx)
+        mods = []
+        for i, b in enumerate(plan):
+            cls = SimpleBlock if 'simple' in b['name'] else ResnetBottleneckBlock
+            if not ('simple' in b['name'] or 'resnetb' in b['name']):
+                raise NotImplementedError(f"block {b['name']}")
+            mods.append(cls(block_name=b['name'], in_dim=b['in_dim'],
+                            out_dim=b['out_dim'], radius=b['radius'],
+                            layer_ind=b['layer_ind'], config=self.config,
+                            kp_seed=i))
+        self.blocks = mods
+
+    def __call__(self, x, meta):
+        skips = []
+        for i, block in enumerate(self.blocks):
+            if i in self.skip_idx:
+                skips.append(x)
+            x = block(x, meta)
+        return x, skips
+
+
+class KPFDecoder(nn.Module):
+    """Nearest-upsample decoder with skip concat (kpconv.py:95-168).
+
+    Unused by RegTR (as in the reference) but provided for backbone parity.
+    Architecture entries after the first 'nearest_upsample' are consumed;
+    each upsample halves the channel count and concatenates the skip.
+    """
+    config: Any
+    skip_dims: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x, skips, meta):
+        cfg = self.config
+        # Find decoder start.
+        start = next((i for i, b in enumerate(cfg.architecture)
+                      if 'upsample' in b), None)
+        if start is None:
+            return x
+        level = sum(1 for b in cfg.architecture[:start]
+                    if 'pool' in b or 'strided' in b)
+        skips = list(skips)
+        out_dim = x.shape[-1]
+        for block_i, block in enumerate(cfg.architecture[start:]):
+            if block_i > 0 and 'upsample' in cfg.architecture[start + block_i - 1]:
+                x = jnp.concatenate([x, skips.pop()], axis=-1)
+                x = UnaryBlock(out_dim, use_norm=cfg.use_batch_norm)(
+                    x, meta['masks'][level])
+            if 'upsample' in block:
+                x = NearestUpsampleBlock(level)(x, meta)
+                level -= 1
+                out_dim = out_dim // 2
+        return x

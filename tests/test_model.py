@@ -1,0 +1,197 @@
+"""End-to-end model tests: init, forward, loss, gradients on synthetic pairs."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from superpoints_registration_tpu.config import Config
+from superpoints_registration_tpu.data.synthetic import SyntheticPairDataset
+from superpoints_registration_tpu.data.collate import collate_pairs
+from superpoints_registration_tpu.models import build_model
+from superpoints_registration_tpu.ops import se3
+
+
+def tiny_config(**over):
+    cfg = Config(
+        # kpconv
+        architecture=['simple', 'resnetb', 'resnetb_strided', 'resnetb'],
+        num_layers=2,
+        neighborhood_limits=[16, 16],
+        aggregation_mode='sum',
+        first_subsampling_dl=0.06,
+        first_feats_dim=16,
+        fixed_kernel_points='center',
+        in_feats_dim=1,
+        in_points_dim=3,
+        conv_radius=2.75,
+        KP_extent=2.0,
+        KP_influence='linear',
+        use_batch_norm=True,
+        batch_norm_momentum=0.02,
+        num_kernel_points=15,
+        level_budgets=[128, 64],
+        neighbor_chunk=1024,
+        # model
+        d_embed=32,
+        nhead=4,
+        d_feedforward=64,
+        dropout=0.0,
+        pre_norm=True,
+        transformer_act='relu',
+        num_encoder_layers=2,
+        transformer_encoder_has_pos_emb=True,
+        sa_val_has_pos_emb=True,
+        ca_val_has_pos_emb=True,
+        pos_emb_type='sine',
+        # matching
+        use_sinkhorn=False,
+        sinkhorn_itr=3,
+        slack=True,
+        use_ratio_test=False,
+        lowe_thres=0.9,
+        threshold_corr=False,
+        remove_outliers_overlap=False,
+        use_overlap_as_weights=False,
+        remove_points_from_val=False,
+        use_lgr=False,
+        num_refinement_steps=3,
+        acceptance_radius=0.1,
+        use_ransac=False,
+        # losses
+        inlier_loss_on=False,
+        wt_overlap=1.0,
+        wt_feature=0.1,
+        r_p=0.12,
+        r_n=0.24,
+        feature_loss_on=[0],
+        feature_loss_type='infonce',
+        overlap_loss_mode='standard',
+        # validation
+        reg_success_thresh_rot=10,
+        reg_success_thresh_trans=0.1,
+    )
+    cfg.update(over)
+    return cfg
+
+
+def make_batch(n_pairs=2, n_points=128, budget=128, seed=0):
+    ds = SyntheticPairDataset(size=n_pairs, n_points=n_points, seed=seed,
+                              overlap_radius=0.06)
+    rng = np.random.default_rng(0)
+    return collate_pairs([ds[i] for i in range(n_pairs)], budget, rng)
+
+
+@pytest.fixture(scope='module')
+def model_and_params():
+    cfg = tiny_config()
+    model = build_model('regtr.RegTR', cfg)
+    batch = make_batch()
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    apply_fn = jax.jit(model.apply)
+    return model, params, batch, apply_fn
+
+
+class TestRegTRForward:
+    def test_output_shapes_and_finiteness(self, model_and_params):
+        model, params, batch, apply_fn = model_and_params
+        out = apply_fn(params, batch)
+        assert out['pose'].shape == (2, 3, 4)
+        assert np.all(np.isfinite(np.asarray(out['pose'])))
+        nc = model.cfg.level_budgets[-1]
+        assert out['src_feat'].shape == (1, 2, nc, model.cfg.d_embed)
+        assert out['src_overlap'].shape == (2, nc)
+        ov = np.asarray(out['src_overlap'])
+        assert np.all((ov >= 0) & (ov <= 1))
+        # Pose rotation must be a proper rotation.
+        rots = np.asarray(out['pose'])[:, :3, :3]
+        np.testing.assert_allclose(np.linalg.det(rots), 1.0, atol=1e-3)
+
+    def test_losses_finite(self, model_and_params):
+        model, params, batch, apply_fn = model_and_params
+        out = apply_fn(params, batch)
+        for k, v in out['losses'].items():
+            assert np.isfinite(float(v)), f"loss {k} not finite"
+        total = float(out['losses']['total'])
+        expected = (float(out['losses']['T'])
+                    + 0.1 * float(out['losses']['feature'])
+                    + float(out['losses']['overlap']))
+        np.testing.assert_allclose(total, expected, rtol=1e-5)
+
+    def test_gradients_flow(self, model_and_params):
+        model, params, batch, _ = model_and_params
+
+        def loss_fn(p):
+            return model.apply(p, batch)['losses']['total']
+
+        grads = jax.jit(jax.grad(loss_fn))(params)
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        n_nonzero = sum(int(np.any(np.asarray(l) != 0)) for l in leaves)
+        # The vast majority of parameters should receive gradient.
+        assert n_nonzero / len(leaves) > 0.85, f"{n_nonzero}/{len(leaves)}"
+
+    def test_padding_invariance(self, model_and_params):
+        """Extending the padding must not change predictions."""
+        model, params, _, _ = model_and_params
+        cfg2 = tiny_config(level_budgets=[192, 64])
+        model2 = build_model('regtr.RegTR', cfg2)
+        batch128 = make_batch(n_pairs=1, n_points=100, budget=128, seed=3)
+        batch192 = make_batch(n_pairs=1, n_points=100, budget=192, seed=3)
+        b1 = {k: jnp.asarray(v) for k, v in batch128.items()}
+        b2 = {k: jnp.asarray(v) for k, v in batch192.items()}
+        out1 = jax.jit(model.apply)(params, b1)
+        out2 = jax.jit(model2.apply)(params, b2)
+        np.testing.assert_allclose(np.asarray(out1['pose']),
+                                   np.asarray(out2['pose']), atol=2e-3)
+
+    def test_sinkhorn_path(self):
+        cfg = tiny_config(use_sinkhorn=True)
+        model = build_model('regtr.RegTR', cfg)
+        batch = make_batch(n_pairs=1)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+        out = jax.jit(model.apply)(params, batch)
+        assert np.all(np.isfinite(np.asarray(out['pose'])))
+
+    def test_option_paths_compile(self):
+        cfg = tiny_config(use_ratio_test=True, threshold_corr=True,
+                          remove_outliers_overlap=True,
+                          remove_points_from_val=True, val_threshold=0.5,
+                          use_lgr=True)
+        model = build_model('regtr.RegTR', cfg)
+        batch = make_batch(n_pairs=1)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+        out = jax.jit(model.apply)(params, batch)
+        assert np.all(np.isfinite(np.asarray(out['pose'])))
+
+
+class TestMatchingOracle:
+    def test_perfect_features_recover_pose(self, rng):
+        """With ideal features (same for true correspondences), the matching
+        head must recover the exact pose."""
+        from superpoints_registration_tpu.models.matching import (
+            MatchingConfig, softmax_correlation)
+        from superpoints_registration_tpu.ops import lie_np
+
+        n = 64
+        feats = rng.normal(size=(1, n, 32)).astype(np.float32) * 3
+        src = rng.normal(size=(1, n, 3)).astype(np.float32)
+        pose = np.concatenate([lie_np.sample_rotation_uniform(rng),
+                               rng.normal(size=(3, 1))], axis=1).astype(np.float32)
+        tgt = lie_np.se3_transform(pose, src[0])[None]
+        perm = rng.permutation(n)
+        tgt_feats = feats[:, perm]
+        tgt_pts = tgt[:, perm]
+        mask = np.ones((1, n), bool)
+
+        out = softmax_correlation(
+            jnp.asarray(feats), jnp.asarray(tgt_feats),
+            jnp.asarray(src), jnp.asarray(tgt_pts),
+            jnp.asarray(mask), jnp.asarray(mask),
+            jnp.ones((1, n)), jnp.ones((1, n)),
+            MatchingConfig())
+        err = se3.se3_compare(out['pose'][0], jnp.asarray(pose))
+        assert float(err['rot_deg']) < 0.5
+        assert float(err['trans']) < 0.01
