@@ -25,10 +25,11 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("k", "chunk"))
+@partial(jax.jit, static_argnames=("k", "chunk", "exact"))
 def radius_knn(queries: jnp.ndarray, q_mask: jnp.ndarray,
                supports: jnp.ndarray, s_mask: jnp.ndarray,
-               radius, k: int, chunk: int = 1024) -> jnp.ndarray:
+               radius, k: int, chunk: int = 1024,
+               exact: bool = False) -> jnp.ndarray:
     """K-nearest neighbors within `radius`, shadow-padded to fixed K.
 
     Args:
@@ -39,6 +40,13 @@ def radius_knn(queries: jnp.ndarray, q_mask: jnp.ndarray,
         radius: search radius (scalar, may be traced).
         k: static neighbor cap.
         chunk: static query chunk size (Nq must be a multiple, or <= chunk).
+        exact: use exact top_k. Default False: `jax.lax.approx_max_k`, which
+            lowers to the TPU PartialReduce unit and is ~55x faster than the
+            full-sort top_k at L0 scale (measured: 67 ms vs 3.7 s for
+            16 x 16384^2 on v5e) at ~0.95+ recall. Exact on CPU either way.
+            A handful of missed neighbors is benign here: KPConv aggregates
+            ~40 neighbors, and the reference's own GPU path (ball_query,
+            kpconv.py:265-292) keeps an *arbitrary* K subset.
 
     Returns:
         (Nq, K) int32 indices into supports; == Ns where there is no neighbor.
@@ -59,7 +67,10 @@ def radius_knn(queries: jnp.ndarray, q_mask: jnp.ndarray,
     def process(q_chunk, qm_chunk):
         dots = jnp.matmul(q_chunk, s.T, precision=jax.lax.Precision.HIGHEST)
         sqd = jnp.sum(q_chunk * q_chunk, axis=-1)[:, None] - 2.0 * dots + s_sq[None, :]
-        neg_vals, idx = jax.lax.top_k(-sqd, k)
+        if exact:
+            neg_vals, idx = jax.lax.top_k(-sqd, k)
+        else:
+            neg_vals, idx = jax.lax.approx_max_k(-sqd, k, recall_target=0.95)
         ok = (-neg_vals <= r_sq) & qm_chunk[:, None]
         return jnp.where(ok, idx, ns).astype(jnp.int32)
 
@@ -74,6 +85,9 @@ def radius_knn(queries: jnp.ndarray, q_mask: jnp.ndarray,
     return out.reshape(nq, k)
 
 
-# Batched over clouds: (B, Nq, 3), (B, Nq), (B, Ns, 3), (B, Ns) -> (B, Nq, K)
-radius_knn_batch = jax.vmap(radius_knn, in_axes=(0, 0, 0, 0, None, None, None),
-                            out_axes=0)
+def radius_knn_batch(queries, q_mask, supports, s_mask, radius, k: int,
+                     chunk: int = 1024, exact: bool = False):
+    """Batched over clouds: (B, Nq, 3), (B, Nq), (B, Ns, 3), (B, Ns) -> (B, Nq, K)."""
+    def fn(q, qm, s, sm):
+        return radius_knn(q, qm, s, sm, radius, k, chunk, exact)
+    return jax.vmap(fn)(queries, q_mask, supports, s_mask)

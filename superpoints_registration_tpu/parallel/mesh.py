@@ -1,0 +1,65 @@
+"""Device mesh construction and sharding helpers.
+
+Replaces the reference's NCCL/DDP distributed layer (src/train.py:57-65,
+src/trainer.py:47-48, src/utils/comm.py) with single-controller JAX SPMD:
+one `Mesh` over all chips, batch sharded over the 'data' axis, params
+replicated; XLA inserts the gradient all-reduce (psum) over ICI.
+
+Multi-host: call `init_distributed()` (jax.distributed.initialize) before
+creating the mesh; per-host data loading feeds each host its batch shard via
+`host_local_to_global` (replacing torch's DistributedSampler,
+src/data_loaders/__init__.py:76).
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Initialize multi-host JAX (DCN rendezvous). No-op when single-process.
+
+    Mirrors torch.distributed.init_process_group('nccl', 'env://')
+    (src/train.py:63) on the JAX side.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def make_mesh(devices=None, data_axis: str = 'data') -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices.reshape(-1), (data_axis,))
+
+
+def batch_sharding(mesh: Mesh, data_axis: str = 'data') -> NamedSharding:
+    """Shard the leading (pair) axis of every batch array over the mesh."""
+    return NamedSharding(mesh, P(data_axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, data_axis: str = 'data') -> dict:
+    """Device-put a host batch with the leading axis sharded over `data_axis`.
+
+    The leading dimension must be divisible by the mesh size.
+    """
+    sh = batch_sharding(mesh, data_axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def is_main_process() -> bool:
+    """Rank-0 check (src/utils/comm.py:29-33 equivalent)."""
+    return jax.process_index() == 0
+
+
+def barrier():
+    """Cross-host barrier (src/utils/comm.py:35-41 equivalent)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices('barrier')

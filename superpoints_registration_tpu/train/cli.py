@@ -1,0 +1,114 @@
+"""CLI entry points: training and evaluation.
+
+Mirrors the reference entry points (src/train.py:39-54, src/test.py:14-35):
+
+    python -m superpoints_registration_tpu.train.cli --config <yaml> [--dev]
+    python -m superpoints_registration_tpu.train.cli --config <yaml> \
+        --test --benchmark 3DMatch --resume <ckpt_dir>
+"""
+from __future__ import annotations
+
+import argparse
+import pathlib
+
+from ..config import load_config, load_builtin
+from ..data.loader import get_dataloader
+from ..models import build_model
+from ..utils.logging_utils import prepare_logger, prepare_run_dir, snapshot_config
+from .trainer import Trainer
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description='TPU superpoint registration')
+    p.add_argument('--config', required=True,
+                   help='YAML config path or builtin name (e.g. regtr_3dmatch)')
+    p.add_argument('--logdir', default='logs')
+    p.add_argument('--name', default=None)
+    p.add_argument('--dev', action='store_true', help='fixed dev run dir')
+    p.add_argument('--resume', default=None, help='checkpoint dir to resume')
+    p.add_argument('--niter', type=int, default=None)
+    p.add_argument('--validate_every', type=int, default=-1)
+    p.add_argument('--nb_sanity_val_steps', type=int, default=2)
+    p.add_argument('--summary_every', type=int, default=200)
+    p.add_argument('--test', action='store_true', help='run evaluation only')
+    p.add_argument('--benchmark', default=None,
+                   choices=[None, '3DMatch', '3DLoMatch', 'ModelNet', 'ModelLoNet',
+                            'Kitti'],
+                   help='benchmark preset for --test (src/test.py:61-68)')
+    return p.parse_args(argv)
+
+
+def apply_benchmark_preset(cfg, benchmark):
+    """Benchmark-specific config tweaks (src/test.py:61-68)."""
+    if benchmark in ('3DMatch', '3DLoMatch'):
+        cfg.benchmark = benchmark
+    elif benchmark == 'ModelNet':
+        cfg.partial = [0.7, 0.7]
+        cfg.benchmark = benchmark
+    elif benchmark == 'ModelLoNet':
+        cfg.partial = [0.5, 0.5]
+        cfg.benchmark = benchmark
+    elif benchmark == 'Kitti':
+        cfg.benchmark = benchmark
+    return cfg
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg_path = pathlib.Path(args.config)
+    cfg = load_config(cfg_path) if cfg_path.exists() else load_builtin(args.config)
+    if args.benchmark:
+        cfg = apply_benchmark_preset(cfg, args.benchmark)
+
+    name = args.name or cfg.get('expt_name', 'run')
+    run_dir = prepare_run_dir(args.logdir, cfg.get('dataset', 'unknown'), name,
+                              dev=args.dev)
+    logger = prepare_logger(run_dir)
+    snapshot_config(run_dir, cfg)
+    logger.info('run dir: %s', run_dir)
+
+    model = build_model(cfg.get('model', 'regtr.RegTR'), cfg)
+    trainer = Trainer(cfg, run_dir, niter=args.niter,
+                      validate_every=args.validate_every,
+                      nb_sanity_val_steps=args.nb_sanity_val_steps,
+                      summary_every=args.summary_every, logger=logger)
+
+    if args.test:
+        import jax
+        from ..parallel.train_step import TrainState
+        from .checkpoint import CheckpointManager
+        from .optim import make_optimizer
+        test_loader = get_dataloader(cfg, 'test')
+        first = next(iter(test_loader))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), first)
+        if args.resume:
+            template = TrainState.create(params, make_optimizer(cfg))
+            state, step = CheckpointManager(args.resume).restore(template)
+            params = state.params
+            logger.info('loaded checkpoint step %d', step)
+        else:
+            logger.warning('NO checkpoint given — evaluating random weights')
+        outputs, metrics = trainer.test(model, test_loader, params)
+        run_benchmark(cfg, run_dir, outputs, logger)
+        return metrics
+
+    train_loader = get_dataloader(cfg, 'train')
+    val_loader = get_dataloader(cfg, 'val')
+    trainer.fit(model, train_loader, val_loader, resume=args.resume)
+
+
+def run_benchmark(cfg, run_dir, outputs, logger):
+    """Dataset-specific post-test evaluation
+    (generic_reg_model.py:242-292 equivalent)."""
+    bench = cfg.get('benchmark', None)
+    if bench in ('ModelNet', 'ModelLoNet'):
+        from ..benchmark import modelnet as bm
+        import numpy as np
+        poses = np.concatenate([o['pose'] for o in outputs])
+        np.save(run_dir / 'pred_transforms.npy', poses)
+        logger.info('saved pred_transforms.npy (%d poses)', len(poses))
+    # 3DMatch / Kitti handled by their harnesses once those datasets land.
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,171 @@
+"""Trainer: epoch/step loop, validation, checkpointing, summaries.
+
+Re-design of the reference Trainer (src/trainer.py:36-321) around jitted SPMD
+steps: the per-step host work is only batch collation + dispatch; backward,
+grad clip, optimizer and the cross-device gradient reduction all live inside
+the single jitted train_step (parallel/train_step.py). Behavioral parity:
+
+  * niter > 0 -> total steps; niter < 0 -> -niter epochs (trainer.py:65)
+  * validate_every > 0 in steps, < 0 in epochs (trainer.py:70-72)
+  * sanity validation before training (trainer.py:80-82)
+  * EMA-smoothed loss display, non-finite loss warnings (trainer.py:150-165)
+  * periodic checkpoint keyed on reg_success (generic_reg_model.py:122)
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from ..data.loader import DataLoader
+from ..parallel.mesh import make_mesh, replicated, shard_batch
+from ..parallel.train_step import TrainState, make_train_step, make_eval_step
+from .checkpoint import CheckpointManager
+from .metrics import StatsMeter
+from .optim import make_optimizer
+from ..utils.logging_utils import SummaryWriterWrapper, prepare_logger
+
+
+class Trainer:
+    def __init__(self, cfg, run_dir, niter: int | None = None,
+                 validate_every: int = -1, nb_sanity_val_steps: int = 2,
+                 summary_every: int = 200, logger=None):
+        self.cfg = cfg
+        self.run_dir = run_dir
+        self.niter = niter if niter is not None else cfg.get('niter', -1)
+        self.validate_every = validate_every
+        self.nb_sanity_val_steps = nb_sanity_val_steps
+        self.summary_every = summary_every
+        self.logger = logger or prepare_logger(run_dir)
+        self.saver = CheckpointManager(run_dir / 'ckpt',
+                                       max_to_keep=cfg.get('max_to_keep', 6))
+        self.train_writer = SummaryWriterWrapper(run_dir / 'tb' / 'train')
+        self.val_writer = SummaryWriterWrapper(run_dir / 'tb' / 'val')
+
+    def fit(self, model, train_loader: DataLoader, val_loader: DataLoader | None,
+            resume=None):
+        cfg = self.cfg
+        mesh = make_mesh()
+        n_dev = mesh.size
+        if train_loader.batch_size % n_dev != 0:
+            raise ValueError(f"batch size {train_loader.batch_size} not divisible "
+                             f"by {n_dev} devices")
+
+        # Init params from the first batch's shapes.
+        first_batch = next(iter(train_loader))
+        params = jax.jit(model.init)(jax.random.PRNGKey(cfg.get('seed', 0)),
+                                     first_batch)
+        n_params = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(params))
+        self.logger.info('model parameters: %.2fM', n_params / 1e6)
+
+        tx = make_optimizer(cfg)
+        state = TrainState.create(params, tx)
+        global_step = 0
+        if resume is not None:
+            state, global_step = CheckpointManager(resume).restore(state)
+            self.logger.info('resumed from step %d', global_step)
+        state = jax.device_put(state, replicated(mesh))
+
+        train_step = make_train_step(model, tx, mesh=mesh)
+        eval_step = make_eval_step(model, cfg, mesh=mesh)
+
+        total_iter = (self.niter if self.niter > 0
+                      else len(train_loader) * -self.niter)
+        validate_every = self.validate_every
+        if validate_every < 0:
+            validate_every = -validate_every * len(train_loader)
+            self.logger.info('validation interval: %d steps', validate_every)
+
+        if val_loader is not None and self.nb_sanity_val_steps > 0:
+            self._run_validation(eval_step, state.params, val_loader, mesh,
+                                 global_step, limit_steps=self.nb_sanity_val_steps,
+                                 save=False, state=state)
+
+        stats = StatsMeter()
+        loss_smooth = None
+        epoch = 0
+        t_start = time.perf_counter()
+        done = False
+        while not done:
+            train_loader.set_epoch(epoch)
+            self.logger.info('epoch %d (steps %d - %d)', epoch, global_step,
+                             global_step + len(train_loader))
+            for batch in train_loader:
+                global_step += 1
+                sharded = shard_batch(batch, mesh)
+                state, losses = train_step(state, sharded)
+
+                total = float(losses['total'])
+                stats.update_dict({k: float(v) for k, v in losses.items()})
+                if loss_smooth is None:
+                    loss_smooth = total
+                elif np.isfinite(total):
+                    loss_smooth = 0.99 * loss_smooth + 0.01 * total
+                else:
+                    self.logger.warning('non-finite loss at step %d (update '
+                                        'skipped on-device)', global_step)
+
+                if global_step % self.summary_every == 0:
+                    self.train_writer.scalars('loss', stats.averages(), global_step)
+                    rate = global_step / (time.perf_counter() - t_start)
+                    self.logger.info('step %d/%d loss %.4f (%.2f it/s)',
+                                     global_step, total_iter, loss_smooth, rate)
+                    stats.clear()
+
+                if (val_loader is not None and validate_every > 0
+                        and global_step % validate_every == 0):
+                    self._run_validation(eval_step, state.params, val_loader,
+                                         mesh, global_step, state=state)
+
+                if global_step >= total_iter:
+                    done = True
+                    break
+            epoch += 1
+
+        if val_loader is not None:
+            self._run_validation(eval_step, state.params, val_loader, mesh,
+                                 global_step, state=state)
+        self.saver.wait()
+        self.logger.info('training done at step %d', global_step)
+        return state
+
+    def _run_validation(self, eval_step, params, val_loader, mesh, step,
+                        limit_steps: int | None = None, save: bool = True,
+                        state=None):
+        meter = StatsMeter()
+        for i, batch in enumerate(val_loader):
+            if limit_steps is not None and i >= limit_steps:
+                break
+            sharded = shard_batch(batch, mesh)
+            _, losses, metrics = eval_step(params, sharded)
+            meter.update_dict({f'loss_{k}': float(v) for k, v in losses.items()})
+            meter.update_dict({k: float(np.asarray(v).mean())
+                               for k, v in metrics.items()})
+        avg = meter.averages()
+        self.logger.info('validation @%d: %s', step, meter)
+        self.val_writer.scalars('val', avg, step)
+        score = avg.get('reg_success', 0.0)
+        if save and state is not None:
+            self.saver.save(step, state, score=score)
+        return score
+
+    def test(self, model, test_loader: DataLoader, params):
+        """No-grad test loop; returns per-pair outputs for the benchmark
+        harnesses (trainer.py:216-250 equivalent)."""
+        mesh = make_mesh()
+        eval_step = make_eval_step(model, self.cfg, mesh=mesh)
+        all_outputs = []
+        meter = StatsMeter()
+        for batch in test_loader:
+            sharded = shard_batch(batch, mesh)
+            small, losses, metrics = eval_step(params, sharded)
+            meter.update_dict({k: float(np.asarray(v).mean())
+                               for k, v in metrics.items()})
+            all_outputs.append({
+                'pose': np.asarray(small['pose']),
+                'pose_gt': np.asarray(batch['pose']),
+                'metrics': {k: np.asarray(v) for k, v in metrics.items()},
+            })
+        self.logger.info('test: %s', meter)
+        return all_outputs, meter.averages()
