@@ -1,0 +1,66 @@
+"""Offline GT-overlap precomputation -> HDF5 masks.
+
+Equivalent of src/data_processing/compute_overlap_3dmatch.py:27-60 and
+compute_overlap_kitti.py:23-238: for every pair in a dataset, compute the
+mutual overlap masks + correspondences once and store them so training skips
+the per-sample KD-tree query.
+
+Usage:
+    python -m superpoints_registration_tpu.data.precompute_overlaps \
+        --config <yaml> --phase train --out <file.h5>
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from ..config import load_builtin, load_config
+from ..ops import lie_np
+from .pointcloud import compute_overlap
+
+
+def precompute(dataset, out_path: str, search_radius: float):
+    """Iterate raw pairs (pre-augmentation) and store masks per pair index."""
+    import h5py
+    with h5py.File(out_path, 'w') as f:
+        for i in range(len(dataset)):
+            d = dataset[i]
+            src_mask, tgt_mask, corr = compute_overlap(
+                lie_np.se3_transform(d['pose'], d['src_xyz']), d['tgt_xyz'],
+                search_radius)
+            g = f.create_group(f'pair_{i:06d}')
+            g.create_dataset('src_mask', data=src_mask, compression='gzip')
+            g.create_dataset('tgt_mask', data=tgt_mask, compression='gzip')
+            g.create_dataset('src_tgt_corr', data=corr, compression='gzip')
+            if (i + 1) % 100 == 0:
+                print(f'{i + 1}/{len(dataset)} pairs done')
+    print(f'wrote {out_path}')
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('--config', required=True)
+    p.add_argument('--phase', default='train')
+    p.add_argument('--out', required=True)
+    args = p.parse_args(argv)
+    import pathlib
+    cfg_path = pathlib.Path(args.config)
+    cfg = load_config(cfg_path) if cfg_path.exists() else load_builtin(args.config)
+
+    if cfg.dataset == '3dmatch':
+        from .threedmatch import ThreeDMatchPairDataset
+        ds = ThreeDMatchPairDataset(cfg, args.phase)
+        ds.transforms = None  # raw pairs
+        ds.pairs_data = None
+    elif cfg.dataset == 'kitti':
+        from .kitti import KittiPairDataset
+        ds = KittiPairDataset(cfg, args.phase)
+        ds.transforms = None
+    else:
+        raise ValueError(cfg.dataset)
+    precompute(ds, args.out, cfg.get('overlap_radius', 0.0375))
+
+
+if __name__ == '__main__':
+    main()
