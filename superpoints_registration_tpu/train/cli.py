@@ -88,26 +88,12 @@ def main(argv=None):
             logger.info('loaded checkpoint step %d', step)
         else:
             logger.warning('NO checkpoint given — evaluating random weights')
-        outputs, metrics = trainer.test(model, test_loader, params)
-        run_benchmark(cfg, run_dir, outputs, logger)
-        return metrics
+        from .evaluate import run_test
+        return run_test(cfg, model, params, test_loader, run_dir, logger)
 
     train_loader = get_dataloader(cfg, 'train')
     val_loader = get_dataloader(cfg, 'val')
     trainer.fit(model, train_loader, val_loader, resume=args.resume)
-
-
-def run_benchmark(cfg, run_dir, outputs, logger):
-    """Dataset-specific post-test evaluation
-    (generic_reg_model.py:242-292 equivalent)."""
-    bench = cfg.get('benchmark', None)
-    if bench in ('ModelNet', 'ModelLoNet'):
-        from ..benchmark import modelnet as bm
-        import numpy as np
-        poses = np.concatenate([o['pose'] for o in outputs])
-        np.save(run_dir / 'pred_transforms.npy', poses)
-        logger.info('saved pred_transforms.npy (%d poses)', len(poses))
-    # 3DMatch / Kitti handled by their harnesses once those datasets land.
 
 
 if __name__ == '__main__':
