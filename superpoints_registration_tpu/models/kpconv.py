@@ -70,6 +70,15 @@ class KPConvOp(nn.Module):
     kp_influence: str = 'linear'
     aggregation_mode: str = 'sum'
     kp_seed: int = 0
+    gather_impl: str = 'auto'   # 'auto' | 'pallas' | 'xla'
+    gather_block: int = 1024
+    gather_window_blocks: int = 2
+
+    def _use_pallas(self) -> bool:
+        if self.gather_impl == 'auto':
+            import jax as _jax
+            return _jax.default_backend() == 'tpu'
+        return self.gather_impl == 'pallas'
 
     @nn.compact
     def __call__(self, q_pts, s_pts, neighb_inds, x):
@@ -80,8 +89,18 @@ class KPConvOp(nn.Module):
             'weights', kpconv_weight_init(self.in_channels * self.out_channels),
             (self.num_kernel_points, self.in_channels, self.out_channels))
 
-        # Neighbor coords relative to query; shadow rows land far away.
-        neighbors = gather_rows(s_pts, neighb_inds, pad_value=_SHADOW_DIST)
+        if self._use_pallas():
+            # Fused windowed MXU gather (ops/pallas/gather.py): coords +
+            # features in one pass; ~2% of far neighbors may be dropped
+            # (-> shadow), analogous to the reference's neighbor cap.
+            from ..ops.pallas.gather import gather_coords_feats_batch
+            neighbors, neighb_x, _ = gather_coords_feats_batch(
+                s_pts, x, neighb_inds, shadow_coord=_SHADOW_DIST,
+                block=self.gather_block,
+                window_blocks=self.gather_window_blocks)
+        else:
+            neighbors = gather_rows(s_pts, neighb_inds, pad_value=_SHADOW_DIST)
+            neighb_x = None
         rel = neighbors - q_pts[:, :, None, :]  # (B, Nq, K, 3)
 
         # sq_distances to kernel points via expansion: one MXU matmul.
@@ -109,7 +128,8 @@ class KPConvOp(nn.Module):
         elif self.aggregation_mode != 'sum':
             raise ValueError(self.aggregation_mode)
 
-        neighb_x = gather_rows(x, neighb_inds, pad_value=0.0)  # (B, Nq, K, C_in)
+        if neighb_x is None:
+            neighb_x = gather_rows(x, neighb_inds, pad_value=0.0)  # (B,Nq,K,C)
 
         # (B,Nq,Kp,K) @ (B,Nq,K,C) -> (B,Nq,Kp,C); then contract kernel dim.
         weighted = jnp.einsum('bnkp,bnkc->bnpc', all_weights, neighb_x)
@@ -173,7 +193,10 @@ class SimpleBlock(nn.Module):
                      fixed_kernel_points=cfg.fixed_kernel_points,
                      kp_influence=cfg.KP_influence,
                      aggregation_mode=cfg.aggregation_mode,
-                     kp_seed=self.kp_seed)(q_pts, s_pts, inds, x)
+                     kp_seed=self.kp_seed,
+                     gather_impl=cfg.get('gather_impl', 'auto'),
+                     gather_block=cfg.get('gather_block', 1024),
+                     gather_window_blocks=cfg.get('gather_window_blocks', 2))(q_pts, s_pts, inds, x)
         x = masked_instance_norm(x, out_mask) if cfg.use_batch_norm else x
         return leaky_relu(x)
 
@@ -210,14 +233,30 @@ class ResnetBottleneckBlock(nn.Module):
                      self.radius, fixed_kernel_points=cfg.fixed_kernel_points,
                      kp_influence=cfg.KP_influence,
                      aggregation_mode=cfg.aggregation_mode,
-                     kp_seed=self.kp_seed)(q_pts, s_pts, inds, h)
+                     kp_seed=self.kp_seed,
+                     gather_impl=cfg.get('gather_impl', 'auto'),
+                     gather_block=cfg.get('gather_block', 1024),
+                     gather_window_blocks=cfg.get('gather_window_blocks', 2))(q_pts, s_pts, inds, h)
         h = masked_instance_norm(h, out_mask) if cfg.use_batch_norm else h
         h = leaky_relu(h)
 
         h = UnaryBlock(self.out_dim, use_norm=cfg.use_batch_norm,
                        no_relu=True)(h, out_mask)
 
-        shortcut = max_pool(x, inds) if strided else x
+        if strided:
+            use_pallas = (cfg.get('gather_impl', 'auto') == 'pallas'
+                          or (cfg.get('gather_impl', 'auto') == 'auto'
+                              and jax.default_backend() == 'tpu'))
+            if use_pallas:
+                from ..ops.pallas.gather import gather_feats_batch
+                gathered = gather_feats_batch(
+                    x, inds, block=cfg.get('gather_block', 1024),
+                    window_blocks=cfg.get('gather_window_blocks', 2))
+                shortcut = jnp.max(gathered, axis=2)
+            else:
+                shortcut = max_pool(x, inds)
+        else:
+            shortcut = x
         if self.in_dim != self.out_dim:
             shortcut = UnaryBlock(self.out_dim, use_norm=cfg.use_batch_norm,
                                   no_relu=True)(shortcut, out_mask)

@@ -166,6 +166,8 @@ class RegTR(nn.Module):
         # Overlap BCE against pyramid-propagated GT (qk_regtr_full.py:320-331).
         overlaps0 = jnp.concatenate(
             [batch['src_overlap'], batch['tgt_overlap']], axis=0).astype(jnp.float32)
+        # The pyramid Morton-sorts level-0 points; apply the same permutation.
+        overlaps0 = jnp.take_along_axis(overlaps0, meta['perm0'], axis=1)
         overlap_pyr = propagate_overlaps(overlaps0, meta)[-1]    # (2P, Nc)
         pred_overlap = jnp.concatenate([pred['src_overlap'], pred['tgt_overlap']],
                                        axis=0)

@@ -102,12 +102,37 @@ def build_pyramid(points: jnp.ndarray, mask: jnp.ndarray, spec: PyramidSpec,
     assert points.shape[1] == spec.budgets[0], \
         f"input budget mismatch: {points.shape[1]} vs {spec.budgets[0]}"
 
+    # Sort level-0 points into Morton order (at the input voxel scale) so the
+    # windowed gather kernel sees spatially-local indices. Deeper levels come
+    # out of voxel_subsample already Morton-ordered. perm0 maps sorted slot ->
+    # original row (invalid rows last); callers permute per-point labels
+    # (e.g. GT overlap) with it.
+    from .morton import morton_keys
+    safe = jnp.where(mask[..., None], points, 0.0)
+    pmin = jnp.min(jnp.where(mask[..., None], points, jnp.inf), axis=1,
+                   keepdims=True)
+    pmin = jnp.where(jnp.isfinite(pmin), pmin, 0.0)
+    coords = jnp.floor((safe - jnp.floor(pmin / spec.voxel_sizes[0])
+                        * spec.voxel_sizes[0]) / spec.voxel_sizes[0])
+    khi, klo = morton_keys(coords.astype(jnp.int32))
+    big = jnp.int32(2 ** 30)
+    khi = jnp.where(mask, khi, big)
+    klo = jnp.where(mask, klo, big)
+    iota = jnp.broadcast_to(jnp.arange(points.shape[1], dtype=jnp.int32),
+                            mask.shape)
+    _, _, px, py, pz, m_i, perm0 = jax.lax.sort(
+        (khi, klo, safe[..., 0], safe[..., 1], safe[..., 2],
+         mask.astype(jnp.int32), iota), num_keys=2, dimension=1)
+    points = jnp.stack([px, py, pz], axis=-1)
+    mask = m_i.astype(bool)
+
     L = spec.num_levels
     meta = {
         'points': [points], 'masks': [mask],
         'lengths': [jnp.sum(mask.astype(jnp.int32), axis=1)],
         'neighbors': [], 'pools': [], 'upsamples': [],
         'n_voxels': [jnp.sum(mask.astype(jnp.int32), axis=1)],
+        'perm0': perm0,
     }
 
     for l in range(L):

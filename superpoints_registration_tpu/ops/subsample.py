@@ -55,20 +55,23 @@ def voxel_subsample(points: jnp.ndarray, mask: jnp.ndarray, voxel_size: float,
     origin = jnp.floor(pmin / voxel_size) * voxel_size
     coords = jnp.floor((safe_pts - origin) / voxel_size).astype(jnp.int32)
 
-    # Invalid rows sort last.
-    cz = jnp.where(mask, coords[:, 2], _BIG_I32)
-    cy = jnp.where(mask, coords[:, 1], _BIG_I32)
-    cx = jnp.where(mask, coords[:, 0], _BIG_I32)
+    # Morton order: keeps the output spatially local in index space, which
+    # the windowed gather kernel (ops/pallas/gather.py) relies on. Invalid
+    # rows sort last.
+    from .morton import morton_keys
+    khi, klo = morton_keys(coords)
+    khi = jnp.where(mask, khi, _BIG_I32)
+    klo = jnp.where(mask, klo, _BIG_I32)
 
-    sz, sy, sx, px, py, pz, m_i = jax.lax.sort(
-        (cz, cy, cx, safe_pts[:, 0], safe_pts[:, 1], safe_pts[:, 2],
+    shi, slo, px, py, pz, m_i = jax.lax.sort(
+        (khi, klo, safe_pts[:, 0], safe_pts[:, 1], safe_pts[:, 2],
          mask.astype(jnp.int32)),
-        num_keys=3)
+        num_keys=2)
 
     valid = m_i.astype(bool)
     boundary = jnp.concatenate([
         jnp.ones((1,), bool),
-        (sz[1:] != sz[:-1]) | (sy[1:] != sy[:-1]) | (sx[1:] != sx[:-1]),
+        (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]),
     ])
     new_voxel = boundary & valid
     seg = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1

@@ -29,7 +29,9 @@ class TestVoxelSubsample:
         out, out_mask = np.asarray(out), np.asarray(out_mask)
         assert int(n_vox) == len(expected)
         assert out_mask.sum() == len(expected)
-        np.testing.assert_allclose(out[out_mask], expected, atol=1e-5)
+        # Output is Morton-ordered; compare as sorted row sets.
+        np.testing.assert_allclose(np.sort(out[out_mask], axis=0),
+                                   np.sort(expected, axis=0), atol=1e-5)
         # padded slots zeroed
         assert np.all(out[~out_mask] == 0)
 
@@ -65,8 +67,8 @@ class TestVoxelSubsample:
         out, out_mask, n_vox = voxel_subsample(jnp.asarray(padded), jnp.asarray(mask),
                                                0.25, 256)
         assert int(n_vox) == len(expected)
-        np.testing.assert_allclose(np.asarray(out)[np.asarray(out_mask)], expected,
-                                   atol=1e-5)
+        np.testing.assert_allclose(np.sort(np.asarray(out)[np.asarray(out_mask)], axis=0),
+                                   np.sort(expected, axis=0), atol=1e-5)
 
     def test_batched(self, rng):
         clouds = [rng.normal(size=(300 + 50 * i, 3)).astype(np.float32) for i in range(3)]
@@ -77,8 +79,9 @@ class TestVoxelSubsample:
         for b, c in enumerate(clouds):
             expected = voxel_subsample_oracle(c.astype(np.float64), 0.3)
             assert int(n_vox[b]) == len(expected)
-            np.testing.assert_allclose(np.asarray(out[b])[np.asarray(out_mask[b])],
-                                       expected, atol=1e-5)
+            np.testing.assert_allclose(
+                np.sort(np.asarray(out[b])[np.asarray(out_mask[b])], axis=0),
+                np.sort(expected, axis=0), atol=1e-5)
 
 
 class TestRadiusKnn:
@@ -163,11 +166,12 @@ class TestPyramid:
         assert meta['upsamples'] == []
 
         for b, c in enumerate(clouds):
-            # Level-1 points match oracle subsample of the true cloud
+            # Level-1 points match oracle subsample of the true cloud (as sets)
             expected = voxel_subsample_oracle(c.astype(np.float64), 0.12)
             lvl1_mask = np.asarray(meta['masks'][1][b])
-            np.testing.assert_allclose(np.asarray(meta['points'][1][b])[lvl1_mask],
-                                       expected, atol=1e-5)
+            np.testing.assert_allclose(
+                np.sort(np.asarray(meta['points'][1][b])[lvl1_mask], axis=0),
+                np.sort(expected, axis=0), atol=1e-5)
             # Neighbor indices at level 0: shadow or valid support rows
             nb = np.asarray(meta['neighbors'][0][b])
             valid_nb = nb[nb < 512]
@@ -182,12 +186,13 @@ class TestPyramid:
         pts, mask = pad_cloud(c, 512)
         meta = build_pyramid(jnp.asarray(pts[None]), jnp.asarray(mask[None]), spec)
         pools = np.asarray(meta['pools'][0][0])
+        lvl0 = np.asarray(meta['points'][0][0])  # Morton-sorted level-0 points
         lvl1 = np.asarray(meta['points'][1][0])
         lvl1_mask = np.asarray(meta['masks'][1][0])
         for i in np.nonzero(lvl1_mask)[0][:50]:
             nbrs = pools[i][pools[i] < 512]
             if len(nbrs):
-                d = np.linalg.norm(c[nbrs] - lvl1[i], axis=1)
+                d = np.linalg.norm(lvl0[nbrs] - lvl1[i], axis=1)
                 assert np.all(d <= 0.15 + 1e-4)
 
     def test_upsamples_optional(self, rng):
