@@ -80,7 +80,10 @@ class RegTR(nn.Module):
             sa_val_has_pos_emb=cfg.sa_val_has_pos_emb,
             ca_val_has_pos_emb=cfg.ca_val_has_pos_emb,
             activation=cfg.transformer_act,
-            return_intermediate=False)
+            return_intermediate=False,
+            cross_only=bool(cfg.get('transformer_cross_only', False)),
+            attention_impl=cfg.get('attention_impl', 'dense'),
+            grad_checkpoint=bool(cfg.get('grad_checkpoint', False)))
 
         self.overlap_predictor = nn.Dense(
             1, kernel_init=torch_linear_init(cfg.d_embed),

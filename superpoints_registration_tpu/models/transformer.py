@@ -63,10 +63,18 @@ class TransformerCrossEncoderLayer(nn.Module):
     sa_val_has_pos_emb: bool = True
     ca_val_has_pos_emb: bool = True
     activation: str = 'relu'
+    cross_only: bool = False     # transformer_only_ce.py variant (no self-attn)
+    attention_impl: str = 'dense'  # 'dense' | 'chunked'
+
+    def _mha(self):
+        if self.attention_impl == 'chunked':
+            from .mem_eff_attention import ChunkedMultiheadAttention
+            return ChunkedMultiheadAttention(self.d_model, self.nhead)
+        return MultiheadAttention(self.d_model, self.nhead)
 
     def setup(self):
-        self.self_attn = MultiheadAttention(self.d_model, self.nhead)
-        self.cross_attn = MultiheadAttention(self.d_model, self.nhead)
+        self.self_attn = None if self.cross_only else self._mha()
+        self.cross_attn = self._mha()
         self.linear1 = nn.Dense(self.dim_feedforward,
                                 kernel_init=torch_linear_init(self.d_model),
                                 bias_init=torch_linear_init(self.d_model))
@@ -88,14 +96,17 @@ class TransformerCrossEncoderLayer(nn.Module):
 
         if self.pre_norm:
             # Self attention (pre-norm), shared module across src/tgt.
-            src2 = self.norm1(src)
-            src2p = add_pos(src2, src_pos)
-            src = src + self.self_attn(
-                src2p, src2p, src2p if self.sa_val_has_pos_emb else src2, src_valid)
-            tgt2 = self.norm1(tgt)
-            tgt2p = add_pos(tgt2, tgt_pos)
-            tgt = tgt + self.self_attn(
-                tgt2p, tgt2p, tgt2p if self.sa_val_has_pos_emb else tgt2, tgt_valid)
+            if not self.cross_only:
+                src2 = self.norm1(src)
+                src2p = add_pos(src2, src_pos)
+                src = src + self.self_attn(
+                    src2p, src2p, src2p if self.sa_val_has_pos_emb else src2,
+                    src_valid)
+                tgt2 = self.norm1(tgt)
+                tgt2p = add_pos(tgt2, tgt_pos)
+                tgt = tgt + self.self_attn(
+                    tgt2p, tgt2p, tgt2p if self.sa_val_has_pos_emb else tgt2,
+                    tgt_valid)
 
             # Cross attention.
             src2, tgt2 = self.norm2(src), self.norm2(tgt)
@@ -109,12 +120,15 @@ class TransformerCrossEncoderLayer(nn.Module):
             src = src + self._ffn(self.norm3(src))
             tgt = tgt + self._ffn(self.norm3(tgt))
         else:
-            srcp = add_pos(src, src_pos)
-            src = self.norm1(src + self.self_attn(
-                srcp, srcp, srcp if self.sa_val_has_pos_emb else src, src_valid))
-            tgtp = add_pos(tgt, tgt_pos)
-            tgt = self.norm1(tgt + self.self_attn(
-                tgtp, tgtp, tgtp if self.sa_val_has_pos_emb else tgt, tgt_valid))
+            if not self.cross_only:
+                srcp = add_pos(src, src_pos)
+                src = self.norm1(src + self.self_attn(
+                    srcp, srcp, srcp if self.sa_val_has_pos_emb else src,
+                    src_valid))
+                tgtp = add_pos(tgt, tgt_pos)
+                tgt = self.norm1(tgt + self.self_attn(
+                    tgtp, tgtp, tgtp if self.sa_val_has_pos_emb else tgt,
+                    tgt_valid))
 
             srcp, tgtp = add_pos(src, src_pos), add_pos(tgt, tgt_pos)
             src_new = self.norm2(src + self.cross_attn(
@@ -144,16 +158,23 @@ class TransformerCrossEncoder(nn.Module):
     ca_val_has_pos_emb: bool = True
     activation: str = 'relu'
     return_intermediate: bool = False
+    cross_only: bool = False
+    attention_impl: str = 'dense'
+    grad_checkpoint: bool = False
 
     @nn.compact
     def __call__(self, src, tgt, src_valid, tgt_valid, src_pos=None, tgt_pos=None):
         final_norm = nn.LayerNorm() if self.pre_norm else None
+        layer_cls = TransformerCrossEncoderLayer
+        if self.grad_checkpoint:
+            layer_cls = nn.remat(TransformerCrossEncoderLayer)
         src_inter, tgt_inter = [], []
         for _ in range(self.num_layers):
-            src, tgt = TransformerCrossEncoderLayer(
+            src, tgt = layer_cls(
                 self.d_model, self.nhead, self.dim_feedforward, self.pre_norm,
                 self.sa_val_has_pos_emb, self.ca_val_has_pos_emb,
-                self.activation)(src, tgt, src_valid, tgt_valid, src_pos, tgt_pos)
+                self.activation, self.cross_only, self.attention_impl)(
+                src, tgt, src_valid, tgt_valid, src_pos, tgt_pos)
             if self.return_intermediate:
                 src_inter.append(final_norm(src) if final_norm else src)
                 tgt_inter.append(final_norm(tgt) if final_norm else tgt)

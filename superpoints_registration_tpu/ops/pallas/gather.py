@@ -53,8 +53,7 @@ def _gather_kernel(starts_ref, idx_ref, table_ref, out_ref, *, block: int,
         out_ref[:] = out_ref[:] + partial
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("row_tile", "block", "window_blocks"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def gather_rows_windowed(table: jnp.ndarray, idx: jnp.ndarray,
                          row_tile: int = 1024, block: int = 1024,
                          window_blocks: int = 2):
@@ -86,6 +85,8 @@ def gather_rows_windowed(table: jnp.ndarray, idx: jnp.ndarray,
 
     n_tiles = r_pad // row_tile
     n_blocks = n_pad // block
+    # A window can't be wider than the table itself.
+    window_blocks = min(window_blocks, n_blocks)
     tiles = idx.reshape(n_tiles, row_tile)
 
     # Per-tile window start (block units): centered on the MEAN in-table
@@ -119,6 +120,27 @@ def gather_rows_windowed(table: jnp.ndarray, idx: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((r_pad, d), jnp.float32),
     )(starts, idx.reshape(r_pad, 1), table)
     return out[:r], covered2d.reshape(r_pad)[:r]
+
+
+def _gather_fwd(table, idx, row_tile, block, window_blocks):
+    out, covered = gather_rows_windowed(table, idx, row_tile, block,
+                                        window_blocks)
+    return (out, covered), (idx, covered, table)
+
+
+def _gather_bwd(row_tile, block, window_blocks, res, cotangents):
+    """d_table = scatter-add of output cotangents to their source rows
+    (covered rows only — uncovered rows contributed zeros)."""
+    idx, covered, table = res
+    n = table.shape[0]
+    g, _ = cotangents
+    g = jnp.where(covered[:, None], g, 0.0)
+    safe_idx = jnp.clip(idx, 0, n - 1)
+    d_table = jax.ops.segment_sum(g, safe_idx, num_segments=n)
+    return d_table.astype(table.dtype), None
+
+
+gather_rows_windowed.defvjp(_gather_fwd, _gather_bwd)
 
 
 def split_f32_to_bf16_hi_lo(x: jnp.ndarray):

@@ -31,6 +31,8 @@ def parse_args(argv=None):
     p.add_argument('--nb_sanity_val_steps', type=int, default=2)
     p.add_argument('--summary_every', type=int, default=200)
     p.add_argument('--test', action='store_true', help='run evaluation only')
+    p.add_argument('--debug', action='store_true',
+                   help='enable NaN checking (reference --debug anomaly mode)')
     p.add_argument('--benchmark', default=None,
                    choices=[None, '3DMatch', '3DLoMatch', 'ModelNet', 'ModelLoNet',
                             'Kitti'],
@@ -55,6 +57,9 @@ def apply_benchmark_preset(cfg, benchmark):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.debug:
+        import jax
+        jax.config.update('jax_debug_nans', True)
     cfg_path = pathlib.Path(args.config)
     cfg = load_config(cfg_path) if cfg_path.exists() else load_builtin(args.config)
     if args.benchmark:
