@@ -146,8 +146,13 @@ class KittiPairDataset:
         xyz1 = self._velodyne(drive, t1)
         pose = self._gt_pose(drive, t0, t1, xyz0, xyz1)[:3].astype(np.float32)
 
-        src = voxel_down_sample_np(xyz0, self.voxel_size).astype(np.float32)
-        tgt = voxel_down_sample_np(xyz1, self.voxel_size).astype(np.float32)
+        # Native C++ voxel downsample when built (cpp/build.sh), ~6x faster
+        # than the numpy path on 120k-point scans.
+        from .. import native
+        down = (native.voxel_downsample_first if native.available()
+                else voxel_down_sample_np)
+        src = down(xyz0, self.voxel_size).astype(np.float32)
+        tgt = down(xyz1, self.voxel_size).astype(np.float32)
 
         crop = self.cfg.get('crop_radius', 0.0)
         if crop > 0:
