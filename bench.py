@@ -11,6 +11,8 @@ pipeline (on-device pyramid + KPConv + 6-layer cross-encoder + matching +
 Kabsch/Sinkhorn) at the full 3DMatch budgets.
 """
 import json
+
+import jax.numpy as jnp
 import time
 
 import numpy as np
@@ -67,19 +69,28 @@ def main():
     batch = {k: jnp.asarray(np.stack(v)) for k, v in batch.items()}
 
     params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
-    fwd = jax.jit(lambda p, b: model.apply(p, b, compute_loss=False)['pose'])
-
-    # Warmup / compile. NOTE: block_until_ready does not reliably sync through
-    # the axon tunnel; a host fetch of the (tiny) pose output does, and since
-    # the device executes programs in order, fetching iteration N's output
-    # bounds the wall time of all N iterations.
-    np.asarray(fwd(params, batch))
 
     n_iters = 10
+
+    # Time n_iters forwards inside ONE jitted program (lax.fori_loop) and
+    # fetch a scalar checksum: block_until_ready does not reliably sync
+    # through the axon tunnel, and per-dispatch tunnel latency (~25 ms) would
+    # pollute per-batch timing. The input is perturbed per iteration so
+    # nothing folds away.
+    @jax.jit
+    def run(params, batch):
+        def it(i, acc):
+            b = dict(batch)
+            b['src_points'] = b['src_points'] + i * 1e-6
+            pose = model.apply(params, b, compute_loss=False)['pose']
+            return acc + jnp.sum(pose)
+
+        return jax.lax.fori_loop(0, n_iters, it, jnp.float32(0))
+
+    float(run(params, batch))  # compile + warmup
+
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        pose = fwd(params, batch)
-    np.asarray(pose)
+    float(run(params, batch))
     dt = time.perf_counter() - t0
 
     pairs_per_sec = n_pairs * n_iters / dt

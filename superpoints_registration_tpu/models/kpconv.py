@@ -75,9 +75,10 @@ class KPConvOp(nn.Module):
     gather_window_blocks: int = 2
 
     def _use_pallas(self) -> bool:
-        if self.gather_impl == 'auto':
-            import jax as _jax
-            return _jax.default_backend() == 'tpu'
+        # 'auto' currently resolves to the fused XLA gather: the Pallas
+        # windowed gather is correct but trips a repeated-dispatch TPU
+        # runtime bug in this environment (see ops/pallas/gather.py and
+        # memory notes); opt in explicitly with gather_impl='pallas'.
         return self.gather_impl == 'pallas'
 
     @nn.compact
@@ -99,8 +100,20 @@ class KPConvOp(nn.Module):
                 block=self.gather_block,
                 window_blocks=self.gather_window_blocks)
         else:
-            neighbors = gather_rows(s_pts, neighb_inds, pad_value=_SHADOW_DIST)
-            neighb_x = None
+            # ONE combined gather for coords + features (XLA gather cost is
+            # per-row, nearly independent of width; fusing halves it).
+            b, ns, _ = s_pts.shape
+            c_in = x.shape[-1]
+            table = jnp.concatenate([s_pts, x], axis=-1)
+            pad = jnp.concatenate(
+                [jnp.full((b, 1, 3), _SHADOW_DIST, table.dtype),
+                 jnp.zeros((b, 1, c_in), table.dtype)], axis=-1)
+            table = jnp.concatenate([table, pad], axis=1)
+            flat = neighb_inds.reshape(b, -1, 1)
+            gathered = jnp.take_along_axis(table, flat, axis=1)
+            gathered = gathered.reshape(*neighb_inds.shape, 3 + c_in)
+            neighbors = gathered[..., :3]
+            neighb_x = gathered[..., 3:]
         rel = neighbors - q_pts[:, :, None, :]  # (B, Nq, K, 3)
 
         # sq_distances to kernel points via expansion: one MXU matmul.
@@ -244,10 +257,7 @@ class ResnetBottleneckBlock(nn.Module):
                        no_relu=True)(h, out_mask)
 
         if strided:
-            use_pallas = (cfg.get('gather_impl', 'auto') == 'pallas'
-                          or (cfg.get('gather_impl', 'auto') == 'auto'
-                              and jax.default_backend() == 'tpu'))
-            if use_pallas:
+            if cfg.get('gather_impl', 'auto') == 'pallas':
                 from ..ops.pallas.gather import gather_feats_batch
                 gathered = gather_feats_batch(
                     x, inds, block=cfg.get('gather_block', 1024),
