@@ -109,15 +109,20 @@ def gather_rows_windowed(table: jnp.ndarray, idx: jnp.ndarray,
         num_scalar_prefetch=1,
         grid=(n_tiles, window_blocks),
         in_specs=[
-            pl.BlockSpec((row_tile, 1), lambda i, j, starts: (i, 0)),
-            pl.BlockSpec((block, d), lambda i, j, starts: (starts[i] + j, 0)),
+            pl.BlockSpec((row_tile, 1), lambda i, j, starts: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, d), lambda i, j, starts: (starts[i] + j, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((row_tile, d), lambda i, j, starts: (i, 0)),
+        out_specs=pl.BlockSpec((row_tile, d), lambda i, j, starts: (i, 0),
+                               memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         functools.partial(_gather_kernel, block=block, rows=row_tile),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r_pad, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
     )(starts, idx.reshape(r_pad, 1), table)
     return out[:r], covered2d.reshape(r_pad)[:r]
 
