@@ -86,6 +86,9 @@ def make_eval_step(model, cfg, mesh=None):
             'src_overlap': out['src_overlap'],
             'tgt_overlap': out['tgt_overlap'],
             'corr_weight': out['corr_weight'],
+            'pyramid_overflow': jnp.broadcast_to(
+                out['pyramid_overflow'], (out['pose'].shape[0],)
+                + out['pyramid_overflow'].shape),
         }
         return small, out['losses'], metrics
 

@@ -138,10 +138,15 @@ class Trainer:
             if limit_steps is not None and i >= limit_steps:
                 break
             sharded = shard_batch(batch, mesh)
-            _, losses, metrics = eval_step(params, sharded)
+            small, losses, metrics = eval_step(params, sharded)
             meter.update_dict({f'loss_{k}': float(v) for k, v in losses.items()})
             meter.update_dict({k: float(np.asarray(v).mean())
                                for k, v in metrics.items()})
+            overflow = np.asarray(small.get('pyramid_overflow', 0)).max()
+            if overflow > 0:
+                self.logger.warning(
+                    'pyramid budget overflow: %d voxels dropped at some level '
+                    '— recalibrate level_budgets (data/calibrate.py)', overflow)
         avg = meter.averages()
         self.logger.info('validation @%d: %s', step, meter)
         self.val_writer.scalars('val', avg, step)
