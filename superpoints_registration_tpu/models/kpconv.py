@@ -322,6 +322,35 @@ class ResnetBottleneckBlock(nn.Module):
         return leaky_relu(h + shortcut)
 
 
+
+class UnaryBlock2(nn.Module):
+    """Plain 2-layer MLP block (kpconv_blocks.py:569-587)."""
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        h = nn.Dense(in_dim, kernel_init=torch_linear_init(in_dim),
+                     bias_init=torch_linear_init(in_dim))(x)
+        h = nn.relu(h)
+        return nn.Dense(self.out_dim, kernel_init=torch_linear_init(in_dim),
+                        bias_init=torch_linear_init(in_dim))(h)
+
+
+def global_average(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked global average per cloud: (B, N, D), (B, N) -> (B, D)
+    (kpconv_blocks.py:146-165 semantics on the padded layout)."""
+    m = mask[..., None].astype(x.dtype)
+    return jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+
+
+class GlobalAverageBlock(nn.Module):
+    """Global average over the coarsest level (kpconv_blocks.py:744-754)."""
+
+    def __call__(self, x, meta):
+        return global_average(x, meta['masks'][-1])
+
+
 class NearestUpsampleBlock(nn.Module):
     """Upsample by gathering the closest coarse point (kpconv_blocks.py:757-772)."""
     layer_ind: int

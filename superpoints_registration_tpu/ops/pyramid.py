@@ -54,8 +54,11 @@ class PyramidSpec:
         arch = cfg.architecture
         if any('deform' in b for b in arch):
             raise NotImplementedError("deformable KPConv not supported")
-        if any(('global' in b) or ('upsample' in b) for b in arch):
-            raise NotImplementedError("encoder-only architectures expected")
+        # Preprocessing stops at the first global/upsample block, like the
+        # reference's architecture walk (kpconv.py:463-465).
+        stop = next((i for i, b in enumerate(arch)
+                     if 'global' in b or 'upsample' in b), len(arch))
+        arch = arch[:stop]
 
         num_strided = sum(1 for b in arch if ('pool' in b or 'strided' in b))
         num_levels = num_strided + 1

@@ -195,3 +195,54 @@ class TestMatchingOracle:
         err = se3.se3_compare(out['pose'][0], jnp.asarray(pose))
         assert float(err['rot_deg']) < 0.5
         assert float(err['trans']) < 0.01
+
+
+class TestBackboneExtras:
+    def test_decoder_roundtrip(self, rng):
+        """KPFDecoder consumes skips and upsamples back to level 0."""
+        import jax
+        import jax.numpy as jnp
+        from superpoints_registration_tpu.config import as_static
+        from superpoints_registration_tpu.models.kpconv import KPFEncoder, KPFDecoder
+        from superpoints_registration_tpu.ops.pyramid import PyramidSpec, build_pyramid
+
+        cfg = tiny_config()
+        cfg.architecture = ['simple', 'resnetb', 'resnetb_strided', 'resnetb',
+                            'nearest_upsample', 'unary']
+        scfg = as_static(cfg)
+        spec = PyramidSpec.from_config(cfg)
+        pts = np.zeros((2, 128, 3), np.float32)
+        pts[:, :100] = rng.normal(size=(2, 100, 3)).astype(np.float32) * 0.3
+        mask = np.zeros((2, 128), bool)
+        mask[:, :100] = True
+        meta = build_pyramid(jnp.asarray(pts), jnp.asarray(mask), spec,
+                             need_upsamples=True)
+
+        enc = KPFEncoder(config=scfg)
+        x0 = jnp.ones((2, 128, 1), jnp.float32)
+        params = jax.jit(enc.init)(jax.random.PRNGKey(0), x0, meta)
+        feats, skips = enc.apply(params, x0, meta)
+
+        from superpoints_registration_tpu.models.kpconv import encoder_plan
+        _, skip_dims, _ = encoder_plan(cfg)
+        dec = KPFDecoder(config=scfg, skip_dims=skip_dims)
+        dparams = jax.jit(dec.init)(jax.random.PRNGKey(1), feats, skips, meta)
+        out = dec.apply(dparams, feats, skips, meta)
+        assert out.shape[1] == 128  # back at level 0
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_global_average_and_unary2(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from superpoints_registration_tpu.models.kpconv import (
+            GlobalAverageBlock, UnaryBlock2, global_average)
+        x = jnp.asarray(rng.normal(size=(2, 16, 8)).astype(np.float32))
+        mask = jnp.asarray(np.array([[True] * 10 + [False] * 6] * 2))
+        avg = global_average(x, mask)
+        expected = np.asarray(x)[0, :10].mean(0)
+        np.testing.assert_allclose(np.asarray(avg)[0], expected, atol=1e-6)
+
+        mlp = UnaryBlock2(out_dim=4)
+        params = mlp.init(jax.random.PRNGKey(0), x)
+        out = mlp.apply(params, x)
+        assert out.shape == (2, 16, 4)
