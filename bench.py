@@ -11,10 +11,10 @@ pipeline (on-device pyramid + KPConv + 6-layer cross-encoder + matching +
 Kabsch/Sinkhorn) at the full 3DMatch budgets.
 """
 import json
-
-import jax.numpy as jnp
+import os
 import time
 
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -45,7 +45,7 @@ def main():
     cfg = load_builtin('regtr_3dmatch')
     model = build_model('regtr.RegTR', cfg)
 
-    n_pairs = 8          # batched inference; throughput = pairs/sec
+    n_pairs = int(os.environ.get('BENCH_PAIRS', '8'))  # throughput = pairs/sec
     budget = cfg.level_budgets[0]
     n_points = 15000     # typical 3DMatch fragment size at 2.5 cm
     rng = np.random.default_rng(0)

@@ -53,10 +53,10 @@ def _gather_kernel(starts_ref, idx_ref, table_ref, out_ref, *, block: int,
         out_ref[:] = out_ref[:] + partial
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def gather_rows_windowed(table: jnp.ndarray, idx: jnp.ndarray,
                          row_tile: int = 1024, block: int = 1024,
-                         window_blocks: int = 2):
+                         window_blocks: int = 2, interpret: bool = False):
     """Windowed one-hot-MXU gather.
 
     Args:
@@ -117,23 +117,25 @@ def gather_rows_windowed(table: jnp.ndarray, idx: jnp.ndarray,
         out_specs=pl.BlockSpec((row_tile, d), lambda i, j, starts: (i, 0),
                                memory_space=pltpu.VMEM),
     )
+    kwargs = {} if interpret else dict(compiler_params=pltpu.CompilerParams(
+        dimension_semantics=('arbitrary', 'arbitrary')))
     out = pl.pallas_call(
         functools.partial(_gather_kernel, block=block, rows=row_tile),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r_pad, d), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary', 'arbitrary')),
+        interpret=interpret,
+        **kwargs,
     )(starts, idx.reshape(r_pad, 1), table)
     return out[:r], covered2d.reshape(r_pad)[:r]
 
 
-def _gather_fwd(table, idx, row_tile, block, window_blocks):
+def _gather_fwd(table, idx, row_tile, block, window_blocks, interpret=False):
     out, covered = gather_rows_windowed(table, idx, row_tile, block,
-                                        window_blocks)
+                                        window_blocks, interpret)
     return (out, covered), (idx, covered, table)
 
 
-def _gather_bwd(row_tile, block, window_blocks, res, cotangents):
+def _gather_bwd(row_tile, block, window_blocks, interpret, res, cotangents):
     """d_table = scatter-add of output cotangents to their source rows
     (covered rows only — uncovered rows contributed zeros)."""
     idx, covered, table = res
@@ -158,7 +160,7 @@ def split_f32_to_bf16_hi_lo(x: jnp.ndarray):
 def gather_coords_feats_batch(points: jnp.ndarray, feats: jnp.ndarray,
                               idx: jnp.ndarray, shadow_coord: float = 1e6,
                               block: int = 1024, window_blocks: int = 2,
-                              row_tile: int = 1024):
+                              row_tile: int = 1024, interpret: bool = False):
     """Fused neighbor gather for a stack of clouds (no vmap: clouds are
     concatenated into one table and indices are globalized — row tiles never
     straddle clouds because Q*K per cloud is a multiple of row_tile whenever
@@ -194,9 +196,8 @@ def gather_coords_feats_batch(points: jnp.ndarray, feats: jnp.ndarray,
     if pad_rows:
         flat = jnp.pad(flat, ((0, 0), (0, pad_rows)),
                        constant_values=SHADOW_FAR)
-    out, covered = gather_rows_windowed(table, flat.reshape(-1),
-                                        row_tile=row_tile, block=block,
-                                        window_blocks=window_blocks)
+    out, covered = gather_rows_windowed(table, flat.reshape(-1), row_tile,
+                                        block, window_blocks, interpret)
     out = out.reshape(b, rows_per_cloud + pad_rows, 3 + 3 + c)
     covered = covered.reshape(b, rows_per_cloud + pad_rows)
     if pad_rows:
