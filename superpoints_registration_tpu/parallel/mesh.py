@@ -35,6 +35,15 @@ def make_mesh(devices=None, data_axis: str = 'data') -> Mesh:
     return Mesh(devices.reshape(-1), (data_axis,))
 
 
+def make_mesh_for_batch(batch_size: int, data_axis: str = 'data') -> Mesh:
+    """Mesh over the largest device count that divides batch_size (>= 1)."""
+    devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]).reshape(-1), (data_axis,))
+
+
 def batch_sharding(mesh: Mesh, data_axis: str = 'data') -> NamedSharding:
     """Shard the leading (pair) axis of every batch array over the mesh."""
     return NamedSharding(mesh, P(data_axis))

@@ -17,14 +17,14 @@ import numpy as np
 from ..benchmark import modelnet as bm_modelnet
 from ..benchmark import predator as bm_predator
 from ..ops import se3
-from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.mesh import make_mesh_for_batch, shard_batch
 from ..parallel.train_step import make_eval_step
 
 
 def run_test(cfg, model, params, loader, run_dir, logger,
              benchmark_gt_root: str | None = None) -> dict:
     """Run the test loop and the dataset-specific benchmark. Returns metrics."""
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(loader.batch_size)
     eval_step = make_eval_step(model, cfg, mesh=mesh)
     dataset = loader.dataset
     ds_name = cfg.get('dataset')

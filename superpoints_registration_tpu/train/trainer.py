@@ -19,7 +19,7 @@ import jax
 import numpy as np
 
 from ..data.loader import DataLoader
-from ..parallel.mesh import make_mesh, replicated, shard_batch
+from ..parallel.mesh import make_mesh, make_mesh_for_batch, replicated, shard_batch
 from ..parallel.train_step import TrainState, make_train_step, make_eval_step
 from .checkpoint import CheckpointManager
 from .metrics import StatsMeter
@@ -158,7 +158,7 @@ class Trainer:
     def test(self, model, test_loader: DataLoader, params):
         """No-grad test loop; returns per-pair outputs for the benchmark
         harnesses (trainer.py:216-250 equivalent)."""
-        mesh = make_mesh()
+        mesh = make_mesh_for_batch(test_loader.batch_size)
         eval_step = make_eval_step(model, self.cfg, mesh=mesh)
         all_outputs = []
         meter = StatsMeter()

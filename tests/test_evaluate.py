@@ -1,0 +1,84 @@
+"""End-to-end test flow: est.log writing + Predator benchmark integration."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from superpoints_registration_tpu.benchmark import trajectory
+from superpoints_registration_tpu.config import Config
+from superpoints_registration_tpu.data.loader import DataLoader
+from superpoints_registration_tpu.models import build_model
+from superpoints_registration_tpu.train.evaluate import run_test
+from superpoints_registration_tpu.utils.logging_utils import prepare_logger
+
+from test_model import tiny_config
+from superpoints_registration_tpu.data.synthetic import SyntheticPairDataset
+
+
+class StubThreeDMatchDataset(SyntheticPairDataset):
+    """Synthetic pairs masquerading as 3DMatch fragments for the est.log path."""
+
+    SCENES = ['scene_a', 'scene_b']
+
+    def pair_scene_ids(self, item):
+        scene = self.SCENES[item % 2]
+        return scene, item, item + 2  # non-consecutive (counts toward recall)
+
+
+def test_3dmatch_est_log_written_and_benchmarked(tmp_path, rng):
+    cfg = tiny_config()
+    cfg.dataset = '3dmatch'
+    cfg.benchmark = '3DMatch'
+    cfg.test_batch_size = 4
+    model = build_model('regtr.RegTR', cfg)
+    ds = StubThreeDMatchDataset(size=8, n_points=128, overlap_radius=0.06)
+    loader = DataLoader(ds, batch_size=4, budget=128, shuffle=False)
+
+    batch = next(iter(loader))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 {k: jnp.asarray(v) for k, v in batch.items()})
+
+    # Build a matching GT benchmark dir from the dataset's own poses so the
+    # Predator benchmark runs (predictions are random-weight garbage; recall
+    # just needs to be a valid number).
+    gt_root = tmp_path / 'benchmarks'
+    for scene in StubThreeDMatchDataset.SCENES:
+        d = gt_root / '3DMatch' / scene
+        d.mkdir(parents=True)
+        pairs, mats, infos = [], [], []
+        for i in range(8):
+            if ds.pair_scene_ids(i)[0] != scene:
+                continue
+            _, src_id, tgt_id = ds.pair_scene_ids(i)
+            pose44 = np.eye(4)
+            pose44[:3] = ds[i]['pose']
+            # est.log header is (tgt, src); gt convention likewise
+            pairs.append([tgt_id, src_id, 60])
+            mats.append(np.linalg.inv(pose44))
+            infos.append(np.eye(6) * 100)
+        trajectory.write_trajectory(d / 'gt.log', np.array(pairs), np.stack(mats))
+        with open(d / 'gt.info', 'w') as f:
+            for p, info in zip(pairs, infos):
+                f.write('\t'.join(str(int(x)) for x in p) + '\n')
+                for r in range(6):
+                    f.write('\t'.join(f'{v:.6f}' for v in info[r]) + '\n')
+
+    run_dir = tmp_path / 'run'
+    run_dir.mkdir()
+    logger = prepare_logger(run_dir)
+    results = run_test(cfg, model, params, loader, str(run_dir), logger,
+                       benchmark_gt_root=str(gt_root))
+
+    # est.log files exist and parse, one per scene, 4 entries each.
+    for scene in StubThreeDMatchDataset.SCENES:
+        est = run_dir / '3DMatch' / scene / 'est.log'
+        assert est.exists()
+        pairs, mats = trajectory.read_trajectory(est)
+        assert len(mats) == 4
+        # proper rotations
+        for m in mats:
+            np.testing.assert_allclose(np.linalg.det(m[:3, :3]), 1.0, atol=1e-3)
+    assert 'registration_recall' in results
+    assert 0.0 <= results['registration_recall'] <= 1.0
