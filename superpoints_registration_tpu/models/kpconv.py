@@ -109,6 +109,8 @@ class KPConvOp(nn.Module):
     kp_influence: str = 'linear'
     aggregation_mode: str = 'sum'
     kp_seed: int = 0
+    deformable: bool = False
+    modulated: bool = False
     gather_impl: str = 'auto'   # 'auto' | 'pallas' | 'xla'
     gather_block: int = 1024
     gather_window_blocks: int = 2
@@ -129,6 +131,32 @@ class KPConvOp(nn.Module):
         weights = self.param(
             'weights', kpconv_weight_init(self.in_channels * self.out_channels),
             (self.num_kernel_points, self.in_channels, self.out_channels))
+
+        offsets = None
+        modulations = None
+        if self.deformable:
+            # Offset-generating rigid KPConv (kpconv_blocks.py:275-298): its
+            # output parameterizes per-query kernel-point offsets (and
+            # optional modulations), scaled by the extent.
+            kp_dim = self.num_kernel_points * 3
+            off_dim = kp_dim + (self.num_kernel_points if self.modulated else 0)
+            off = KPConvOp(self.num_kernel_points, self.in_channels, off_dim,
+                           self.kp_extent, self.radius,
+                           fixed_kernel_points=self.fixed_kernel_points,
+                           kp_influence=self.kp_influence,
+                           aggregation_mode=self.aggregation_mode,
+                           kp_seed=self.kp_seed + 1000,
+                           gather_impl=self.gather_impl,
+                           gather_block=self.gather_block,
+                           gather_window_blocks=self.gather_window_blocks,
+                           gather_dtype=self.gather_dtype,
+                           name='offset_conv')(q_pts, s_pts, neighb_inds, x)
+            off = off + self.param('offset_bias', nn.initializers.zeros,
+                                   (off_dim,))
+            offsets = off[..., :kp_dim].reshape(
+                *off.shape[:-1], self.num_kernel_points, 3) * self.kp_extent
+            if self.modulated:
+                modulations = 2.0 * jax.nn.sigmoid(off[..., kp_dim:])
 
         if pregathered is not None:
             # Caller already gathered (e.g. fused with the strided shortcut).
@@ -152,10 +180,15 @@ class KPConvOp(nn.Module):
                 bf16=self.gather_dtype == 'bfloat16')
         rel = neighbors - q_pts[:, :, None, :]  # (B, Nq, K, 3)
 
-        # sq_distances to kernel points via expansion: one MXU matmul.
+        # sq_distances to (possibly deformed) kernel points via expansion.
         rel_sq = jnp.sum(rel * rel, axis=-1, keepdims=True)       # (B,Nq,K,1)
-        kp_sq = jnp.sum(kp * kp, axis=-1)                          # (Kp,)
-        cross = jnp.einsum('bnkd,pd->bnkp', rel, kp)               # (B,Nq,K,Kp)
+        if offsets is not None:
+            dkp = kp + offsets                                     # (B,Nq,Kp,3)
+            kp_sq = jnp.sum(dkp * dkp, axis=-1)[:, :, None, :]     # (B,Nq,1,Kp)
+            cross = jnp.einsum('bnkd,bnpd->bnkp', rel, dkp)
+        else:
+            kp_sq = jnp.sum(kp * kp, axis=-1)                      # (Kp,)
+            cross = jnp.einsum('bnkd,pd->bnkp', rel, kp)           # (B,Nq,K,Kp)
         sq_distances = jnp.maximum(rel_sq - 2.0 * cross + kp_sq, 0.0)
 
         if self.kp_influence == 'constant':
@@ -182,6 +215,8 @@ class KPConvOp(nn.Module):
 
         # (B,Nq,Kp,K) @ (B,Nq,K,C) -> (B,Nq,Kp,C); then contract kernel dim.
         weighted = jnp.einsum('bnkp,bnkc->bnpc', all_weights, neighb_x)
+        if modulations is not None:
+            weighted = weighted * modulations[..., None]
         out = jnp.einsum('bnpc,pcd->bnd', weighted, weights,
                          preferred_element_type=jnp.float32)
 
@@ -243,6 +278,8 @@ class SimpleBlock(nn.Module):
                      kp_influence=cfg.KP_influence,
                      aggregation_mode=cfg.aggregation_mode,
                      kp_seed=self.kp_seed,
+                     deformable='deform' in self.block_name,
+                     modulated=bool(cfg.get('modulated', False)),
                      gather_impl=cfg.get('gather_impl', 'auto'),
                      gather_block=cfg.get('gather_block', 1024),
                      gather_window_blocks=cfg.get('gather_window_blocks', 2),
@@ -285,6 +322,8 @@ class ResnetBottleneckBlock(nn.Module):
                           kp_influence=cfg.KP_influence,
                           aggregation_mode=cfg.aggregation_mode,
                           kp_seed=self.kp_seed,
+                          deformable='deform' in self.block_name,
+                          modulated=bool(cfg.get('modulated', False)),
                           gather_impl=cfg.get('gather_impl', 'auto'),
                           gather_block=cfg.get('gather_block', 1024),
                           gather_window_blocks=cfg.get('gather_window_blocks', 2),

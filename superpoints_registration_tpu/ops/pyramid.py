@@ -52,8 +52,6 @@ class PyramidSpec:
         """Build from a flat config namespace (same keys as the reference YAML:
         architecture, first_subsampling_dl, conv_radius, neighborhood_limits)."""
         arch = cfg.architecture
-        if any('deform' in b for b in arch):
-            raise NotImplementedError("deformable KPConv not supported")
         # Preprocessing stops at the first global/upsample block, like the
         # reference's architecture walk (kpconv.py:463-465).
         stop = next((i for i, b in enumerate(arch)
@@ -63,10 +61,24 @@ class PyramidSpec:
         num_strided = sum(1 for b in arch if ('pool' in b or 'strided' in b))
         num_levels = num_strided + 1
 
+        # Levels containing deformable blocks search with the (larger)
+        # deform radius (kpconv.py:477-486 semantics, per-level granularity).
+        deform_level = [False] * num_levels
+        level = 0
+        for b in arch:
+            if 'deform' in b:
+                deform_level[level] = True
+            if 'pool' in b or 'strided' in b:
+                level += 1
+
         dl0 = float(cfg.first_subsampling_dl)
         conv_r = float(cfg.conv_radius)
+        deform_scale = (float(cfg.get('deform_radius', conv_r)) / conv_r
+                        if hasattr(cfg, 'get') else 1.0)
         voxel_sizes = tuple(dl0 * (2 ** l) for l in range(num_levels))
-        radii = tuple(dl0 * conv_r * (2 ** l) for l in range(num_levels))
+        radii = tuple(dl0 * conv_r * (2 ** l)
+                      * (deform_scale if deform_level[l] else 1.0)
+                      for l in range(num_levels))
         limits = tuple(int(x) for x in cfg.neighborhood_limits[:num_levels])
 
         if budgets is None:

@@ -246,3 +246,38 @@ class TestBackboneExtras:
         params = mlp.init(jax.random.PRNGKey(0), x)
         out = mlp.apply(params, x)
         assert out.shape == (2, 16, 4)
+
+
+class TestDeformableKPConv:
+    def test_deformable_block_runs_and_grads(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from superpoints_registration_tpu.config import as_static
+        from superpoints_registration_tpu.models.kpconv import ResnetBottleneckBlock
+        from superpoints_registration_tpu.ops.pyramid import PyramidSpec, build_pyramid
+
+        cfg = tiny_config()
+        cfg.modulated = True
+        spec = PyramidSpec.from_config(cfg)
+        pts = np.zeros((2, 128, 3), np.float32)
+        pts[:, :100] = rng.normal(size=(2, 100, 3)).astype(np.float32) * 0.3
+        mask = np.zeros((2, 128), bool)
+        mask[:, :100] = True
+        meta = build_pyramid(jnp.asarray(pts), jnp.asarray(mask), spec)
+
+        blk = ResnetBottleneckBlock(
+            block_name='resnetb_deformable', in_dim=8, out_dim=16,
+            radius=spec.radii[0], layer_ind=0, config=as_static(cfg))
+        x = jnp.asarray(rng.normal(size=(2, 128, 8)).astype(np.float32))
+        params = jax.jit(blk.init)(jax.random.PRNGKey(0), x, meta)
+        assert any('offset' in str(k) for k in
+                   jax.tree_util.tree_leaves_with_path(params)[0][0].__class__.__mro__
+                   ) or 'offset_conv' in str(jax.tree_util.tree_structure(params))
+        out = blk.apply(params, x, meta)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+        def loss(p):
+            return jnp.sum(blk.apply(p, x, meta) ** 2)
+        g = jax.jit(jax.grad(loss))(params)
+        assert all(np.all(np.isfinite(np.asarray(l)))
+                   for l in jax.tree_util.tree_leaves(g))
