@@ -83,7 +83,8 @@ class RegTR(nn.Module):
             return_intermediate=False,
             cross_only=bool(cfg.get('transformer_cross_only', False)),
             attention_impl=cfg.get('attention_impl', 'dense'),
-            grad_checkpoint=bool(cfg.get('grad_checkpoint', False)))
+            grad_checkpoint=bool(cfg.get('grad_checkpoint', False)),
+            compute_dtype=cfg.get('transformer_compute_dtype', 'float32'))
 
         self.overlap_predictor = nn.Dense(
             1, kernel_init=torch_linear_init(cfg.d_embed),

@@ -23,30 +23,38 @@ _NEG_INF = -1e9
 
 
 class MultiheadAttention(nn.Module):
-    """Standard MHA; `key_valid` is True where the key position is real."""
+    """Standard MHA; `key_valid` is True where the key position is real.
+
+    compute_dtype=bfloat16 runs projections and attention matmuls in bf16
+    (params and softmax stay f32) — standard TPU mixed precision.
+    """
     d_model: int
     nhead: int
+    compute_dtype: str = 'float32'
 
     @nn.compact
     def __call__(self, q, k, v, key_valid: Optional[jnp.ndarray] = None):
         d_head = self.d_model // self.nhead
         assert d_head * self.nhead == self.d_model
         xavier = nn.initializers.xavier_uniform()
+        cdt = jnp.bfloat16 if self.compute_dtype == 'bfloat16' else jnp.float32
 
         def proj(x, name):
             return nn.Dense(self.d_model, name=name, kernel_init=xavier,
-                            bias_init=nn.initializers.zeros)(x)
+                            bias_init=nn.initializers.zeros, dtype=cdt)(x)
 
         qh = proj(q, 'q_proj').reshape(*q.shape[:-1], self.nhead, d_head)
         kh = proj(k, 'k_proj').reshape(*k.shape[:-1], self.nhead, d_head)
         vh = proj(v, 'v_proj').reshape(*v.shape[:-1], self.nhead, d_head)
 
-        scores = jnp.einsum('bqhd,bkhd->bhqk', qh, kh) / (d_head ** 0.5)
+        scores = jnp.einsum('bqhd,bkhd->bhqk', qh, kh,
+                            preferred_element_type=jnp.float32) / (d_head ** 0.5)
         if key_valid is not None:
             scores = jnp.where(key_valid[:, None, None, :], scores, _NEG_INF)
-        attn = nn.softmax(scores, axis=-1)
-        out = jnp.einsum('bhqk,bkhd->bqhd', attn, vh)
-        out = out.reshape(*q.shape[:-1], self.d_model)
+        attn = nn.softmax(scores, axis=-1).astype(cdt)
+        out = jnp.einsum('bhqk,bkhd->bqhd', attn, vh,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(*q.shape[:-1], self.d_model).astype(jnp.float32)
         return nn.Dense(self.d_model, name='out_proj',
                         kernel_init=torch_linear_init(self.d_model),
                         bias_init=nn.initializers.zeros)(out)
@@ -65,22 +73,28 @@ class TransformerCrossEncoderLayer(nn.Module):
     activation: str = 'relu'
     cross_only: bool = False     # transformer_only_ce.py variant (no self-attn)
     attention_impl: str = 'dense'  # 'dense' | 'chunked'
+    compute_dtype: str = 'float32'
 
     def _mha(self):
         if self.attention_impl == 'chunked':
             from .mem_eff_attention import ChunkedMultiheadAttention
             return ChunkedMultiheadAttention(self.d_model, self.nhead)
-        return MultiheadAttention(self.d_model, self.nhead)
+        return MultiheadAttention(self.d_model, self.nhead,
+                                  compute_dtype=self.compute_dtype)
 
     def setup(self):
         self.self_attn = None if self.cross_only else self._mha()
         self.cross_attn = self._mha()
+        cdt = (jnp.bfloat16 if self.compute_dtype == 'bfloat16'
+               else jnp.float32)
         self.linear1 = nn.Dense(self.dim_feedforward,
                                 kernel_init=torch_linear_init(self.d_model),
-                                bias_init=torch_linear_init(self.d_model))
+                                bias_init=torch_linear_init(self.d_model),
+                                dtype=cdt)
         self.linear2 = nn.Dense(self.d_model,
                                 kernel_init=torch_linear_init(self.dim_feedforward),
-                                bias_init=torch_linear_init(self.dim_feedforward))
+                                bias_init=torch_linear_init(self.dim_feedforward),
+                                dtype=cdt)
         self.norm1 = nn.LayerNorm()
         self.norm2 = nn.LayerNorm()
         self.norm3 = nn.LayerNorm()
@@ -89,7 +103,7 @@ class TransformerCrossEncoderLayer(nn.Module):
         return nn.relu(x) if self.activation == 'relu' else nn.gelu(x)
 
     def _ffn(self, x):
-        return self.linear2(self._act(self.linear1(x)))
+        return self.linear2(self._act(self.linear1(x))).astype(jnp.float32)
 
     def __call__(self, src, tgt, src_valid, tgt_valid, src_pos=None, tgt_pos=None):
         add_pos = lambda x, p: x if p is None else x + p
@@ -161,6 +175,7 @@ class TransformerCrossEncoder(nn.Module):
     cross_only: bool = False
     attention_impl: str = 'dense'
     grad_checkpoint: bool = False
+    compute_dtype: str = 'float32'
 
     @nn.compact
     def __call__(self, src, tgt, src_valid, tgt_valid, src_pos=None, tgt_pos=None):
@@ -173,7 +188,8 @@ class TransformerCrossEncoder(nn.Module):
             src, tgt = layer_cls(
                 self.d_model, self.nhead, self.dim_feedforward, self.pre_norm,
                 self.sa_val_has_pos_emb, self.ca_val_has_pos_emb,
-                self.activation, self.cross_only, self.attention_impl)(
+                self.activation, self.cross_only, self.attention_impl,
+                self.compute_dtype)(
                 src, tgt, src_valid, tgt_valid, src_pos, tgt_pos)
             if self.return_intermediate:
                 src_inter.append(final_norm(src) if final_norm else src)
