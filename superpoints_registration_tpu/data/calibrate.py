@@ -43,11 +43,15 @@ def calibrate(dataset, cfg, n_samples: int = 50, keep_ratio: float = 0.8,
                 level_sizes[l].append(len(pts))
                 radius = dl0 * conv_r * (2 ** l)
                 n = len(pts)
-                pad = -(-n // 128) * 128
+                chunk = 2048
+                # radius_knn requires Nq to be a multiple of chunk when
+                # chunked; pad up accordingly.
+                pad = max(128, -(-n // chunk) * chunk) if n > chunk \
+                    else -(-n // 128) * 128
                 p = jnp.asarray(np.pad(pts, ((0, pad - n), (0, 0))))
                 m = jnp.asarray(np.arange(pad) < n)
                 nbrs = np.asarray(radius_knn(p, m, p, m, radius, max_k,
-                                             chunk=2048, exact=True))
+                                             chunk=chunk, exact=True))
                 valid_counts = (nbrs[:n] != pad).sum(axis=1)
                 counts_hist[l].extend(valid_counts.tolist())
                 if l + 1 < num_levels:

@@ -24,6 +24,12 @@ import flax.linen as nn
 import numpy as np
 
 from ..ops.kernel_points import load_kernel_points
+# NOTE: this import must stay at module level. Importing the pallas gather
+# module lazily (inside a traced __call__) executes pallas/jax.experimental
+# imports mid-trace, which poisons the emitted program in this TPU runtime:
+# every 2nd+ dispatch of the executable fails with "INVALID_ARGUMENT: TPU
+# backend error". Root-caused in round 2 (see docs/pallas_fault_repro.py).
+from ..ops.pallas.gather import gather_coords_feats_batch, gather_feats_batch
 from .common import kpconv_weight_init, leaky_relu, masked_instance_norm, torch_linear_init
 
 _SHADOW_DIST = 1e6
@@ -165,7 +171,6 @@ class KPConvOp(nn.Module):
             # Fused windowed MXU gather (ops/pallas/gather.py): coords +
             # features in one pass; ~2% of far neighbors may be dropped
             # (-> shadow), analogous to the reference's neighbor cap.
-            from ..ops.pallas.gather import gather_coords_feats_batch
             neighbors, neighb_x, _ = gather_coords_feats_batch(
                 s_pts, x, neighb_inds, shadow_coord=_SHADOW_DIST,
                 block=self.gather_block,
@@ -343,7 +348,6 @@ class ResnetBottleneckBlock(nn.Module):
         else:
             h = kpconv(q_pts, s_pts, inds, h)
             if strided:
-                from ..ops.pallas.gather import gather_feats_batch
                 gathered = gather_feats_batch(
                     x, inds, block=cfg.get('gather_block', 1024),
                     window_blocks=cfg.get('gather_window_blocks', 2))

@@ -27,10 +27,16 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SHADOW_FAR = jnp.int32(2 ** 30)  # index sentinel that never lands in-window
+# Index sentinel that never lands in-window. Deliberately a HOST-side
+# constant (np.int32, not jnp): a module-level device array would be created
+# at import time, and if this module is first imported while a jit trace is
+# active, mid-trace device-constant creation triggers an axon-runtime
+# repeated-dispatch fault (see docs/pallas_fault_repro.py history).
+SHADOW_FAR = np.int32(2 ** 30)
 
 
 def _gather_kernel(starts_ref, idx_ref, table_ref, out_ref, *, block: int,
