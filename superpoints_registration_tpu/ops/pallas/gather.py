@@ -52,18 +52,26 @@ def _gather_kernel(starts_ref, idx_ref, table_ref, out_ref, *, block: int,
 
     @pl.when(j == 0)
     def _():
-        out_ref[:] = partial
+        out_ref[:] = partial.astype(out_ref.dtype)
 
     @pl.when(j > 0)
     def _():
-        out_ref[:] = out_ref[:] + partial
+        out_ref[:] = (out_ref[:].astype(jnp.float32) + partial).astype(out_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def gather_rows_windowed(table: jnp.ndarray, idx: jnp.ndarray,
                          row_tile: int = 1024, block: int = 1024,
-                         window_blocks: int = 2, interpret: bool = False):
+                         window_blocks: int = 2, interpret: bool = False,
+                         out_bf16: bool = False):
     """Windowed one-hot-MXU gather.
+
+    The table window each row tile reads is selected by a scalar-prefetched
+    per-tile block start, so the pallas runtime double-buffers the window
+    fetch across grid steps automatically (unlike a manual in-kernel DMA,
+    which serializes ~µs of DMA latency per tile). With window_blocks == 1
+    each tile is a single grid step: one (block, D) table fetch, one
+    (row_tile, block) x (block, D) one-hot matmul, one output write.
 
     Args:
         table: (N, D) bf16 (N padded to a multiple of `block` internally).
@@ -72,9 +80,11 @@ def gather_rows_windowed(table: jnp.ndarray, idx: jnp.ndarray,
         row_tile: rows per grid step.
         block: table block width (the window is window_blocks * block wide).
         window_blocks: number of consecutive blocks fetched per tile.
+        out_bf16: emit bf16 output (exact for bf16 tables — the one-hot
+            matmul accumulates in f32 and each output row IS a table row).
 
     Returns:
-        out: (R, D) f32 gathered rows (zeros where not covered).
+        out: (R, D) f32 (or bf16) gathered rows (zeros where not covered).
         covered: (R,) bool — True where idx fell inside its tile's window.
     """
     n, d = table.shape
@@ -125,23 +135,26 @@ def gather_rows_windowed(table: jnp.ndarray, idx: jnp.ndarray,
     )
     kwargs = {} if interpret else dict(compiler_params=pltpu.CompilerParams(
         dimension_semantics=('arbitrary', 'arbitrary')))
+    out_dtype = jnp.bfloat16 if out_bf16 else jnp.float32
     out = pl.pallas_call(
         functools.partial(_gather_kernel, block=block, rows=row_tile),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((r_pad, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r_pad, d), out_dtype),
         interpret=interpret,
         **kwargs,
     )(starts, idx.reshape(r_pad, 1), table)
     return out[:r], covered2d.reshape(r_pad)[:r]
 
 
-def _gather_fwd(table, idx, row_tile, block, window_blocks, interpret=False):
+def _gather_fwd(table, idx, row_tile, block, window_blocks, interpret=False,
+                out_bf16=False):
     out, covered = gather_rows_windowed(table, idx, row_tile, block,
-                                        window_blocks, interpret)
+                                        window_blocks, interpret, out_bf16)
     return (out, covered), (idx, covered, table)
 
 
-def _gather_bwd(row_tile, block, window_blocks, interpret, res, cotangents):
+def _gather_bwd(row_tile, block, window_blocks, interpret, out_bf16, res,
+                cotangents):
     """d_table = scatter-add of output cotangents to their source rows
     (covered rows only — uncovered rows contributed zeros)."""
     idx, covered, table = res
