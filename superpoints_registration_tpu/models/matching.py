@@ -112,11 +112,16 @@ def lgr_refine(src_pts, tgt_pts, weights, pose, acceptance_radius: float,
 def ransac(key, src_pts, tgt_pts, weights, iters: int, sample: int):
     """Fixed-iteration RANSAC, vmapped over hypotheses (qk_regtr_full.py:400-421).
 
-    Weighted-sampling-free like the reference: uniform random indices; the
-    per-sample Kabsch uses the correspondence weights.
+    The reference samples uniformly over its dynamically-sized valid
+    correspondence list; the fixed-shape equivalent here samples categorically
+    over rows with weight > 0 so padded/filtered rows can never enter a
+    hypothesis. If no row is valid (degenerate input) sampling falls back to
+    uniform and the Kabsch degenerate guard returns identity.
     """
-    n = src_pts.shape[-2]
-    idx = jax.random.randint(key, (iters, sample), 0, n)
+    valid = weights > 0
+    any_valid = jnp.any(valid)
+    logits = jnp.where(valid & any_valid, 0.0, _NEG_INF)
+    idx = jax.random.categorical(key, logits, shape=(iters, sample))
 
     def hyp(ix):
         s = jnp.take(src_pts, ix, axis=-2)
@@ -124,9 +129,11 @@ def ransac(key, src_pts, tgt_pts, weights, iters: int, sample: int):
         w = jnp.take(weights, ix, axis=-1)
         pose = se3.compute_rigid_transform(s, t, w)
         resid = se3.transformation_residuals(src_pts, tgt_pts, pose)
-        denom = jnp.maximum(jnp.sum(weights > 0), 1)
-        loss = jnp.sum(resid * (weights > 0)) / denom
-        return pose, loss
+        denom = jnp.maximum(jnp.sum(valid), 1)
+        loss = jnp.sum(resid * valid) / denom
+        # A degenerate hypothesis (collinear sample, NaN residuals) must not
+        # poison argmin selection.
+        return pose, jnp.where(jnp.isfinite(loss), loss, jnp.inf)
 
     poses, losses = jax.vmap(hyp)(idx)
     best = jnp.argmin(losses)

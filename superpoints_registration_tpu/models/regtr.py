@@ -110,18 +110,25 @@ class RegTR(nn.Module):
         cfg = self.cfg
         p = batch['src_points'].shape[0]
 
-        stacked = jnp.concatenate([batch['src_points'], batch['tgt_points']], axis=0)
-        masks = jnp.concatenate([batch['src_mask'], batch['tgt_mask']], axis=0)
-        meta = build_pyramid(stacked, masks, self.spec,
-                             chunk=int(cfg.get('neighbor_chunk', 1024)))
+        # jax.named_scope tags show up in jax.profiler traces (--profile in
+        # the CLI), replacing the reference's manual stage timers
+        # (qk_regtr_full.py:150-290).
+        with jax.named_scope('pyramid'):
+            stacked = jnp.concatenate([batch['src_points'], batch['tgt_points']], axis=0)
+            masks = jnp.concatenate([batch['src_mask'], batch['tgt_mask']], axis=0)
+            meta = build_pyramid(stacked, masks, self.spec,
+                                 chunk=int(cfg.get('neighbor_chunk', 1024)))
 
-        feats0 = jnp.ones(stacked.shape[:2] + (cfg.in_feats_dim,), jnp.float32)
-        feats_un, _ = self.kpf_encoder(feats0, meta)
-        both_feats = self.feat_proj(feats_un)                    # (2P, Nc, D)
+        with jax.named_scope('kpconv_backbone'):
+            feats0 = jnp.ones(stacked.shape[:2] + (cfg.in_feats_dim,), jnp.float32)
+            feats_un, _ = self.kpf_encoder(feats0, meta)
+            both_feats = self.feat_proj(feats_un)                # (2P, Nc, D)
 
         pts_c = meta['points'][-1]
         mask_c = meta['masks'][-1]
-        pe = self.pos_embed(pts_c) if cfg.transformer_encoder_has_pos_emb else None
+        with jax.named_scope('pos_embed'):
+            pe = (self.pos_embed(pts_c)
+                  if cfg.transformer_encoder_has_pos_emb else None)
 
         src_feats, tgt_feats = both_feats[:p], both_feats[p:]
         src_kp, tgt_kp = pts_c[:p], pts_c[p:]
@@ -129,20 +136,23 @@ class RegTR(nn.Module):
         src_pe = pe[:p] if pe is not None else None
         tgt_pe = pe[p:] if pe is not None else None
 
-        src_cond, tgt_cond = self.transformer_encoder(
-            src_feats, tgt_feats, src_kp_mask, tgt_kp_mask, src_pe, tgt_pe)
-        # (L_out, P, Nc, D); final layer for matching.
-        src_final, tgt_final = src_cond[-1], tgt_cond[-1]
+        with jax.named_scope('cross_encoder'):
+            src_cond, tgt_cond = self.transformer_encoder(
+                src_feats, tgt_feats, src_kp_mask, tgt_kp_mask, src_pe, tgt_pe)
+            # (L_out, P, Nc, D); final layer for matching.
+            src_final, tgt_final = src_cond[-1], tgt_cond[-1]
 
-        src_overlap = jax.nn.sigmoid(self.overlap_predictor(src_final))[..., 0]
-        tgt_overlap = jax.nn.sigmoid(self.overlap_predictor(tgt_final))[..., 0]
+        with jax.named_scope('overlap_head'):
+            src_overlap = jax.nn.sigmoid(self.overlap_predictor(src_final))[..., 0]
+            tgt_overlap = jax.nn.sigmoid(self.overlap_predictor(tgt_final))[..., 0]
 
         ransac_key = (self.make_rng('ransac')
                       if self.mcfg.use_ransac and self.has_rng('ransac') else None)
-        match = softmax_correlation(
-            src_final, tgt_final, src_kp, tgt_kp, src_kp_mask, tgt_kp_mask,
-            src_overlap, tgt_overlap, self.mcfg,
-            alpha=self.alpha, beta=self.beta, ransac_key=ransac_key)
+        with jax.named_scope('matching'):
+            match = softmax_correlation(
+                src_final, tgt_final, src_kp, tgt_kp, src_kp_mask, tgt_kp_mask,
+                src_overlap, tgt_overlap, self.mcfg,
+                alpha=self.alpha, beta=self.beta, ransac_key=ransac_key)
 
         outputs = {
             'pose': match['pose'],
@@ -160,7 +170,8 @@ class RegTR(nn.Module):
         }
 
         if compute_loss:
-            outputs['losses'] = self._compute_loss(outputs, batch, meta, p)
+            with jax.named_scope('losses'):
+                outputs['losses'] = self._compute_loss(outputs, batch, meta, p)
         return outputs
 
     def _compute_loss(self, pred: dict, batch: dict, meta: dict, p: int) -> dict:

@@ -77,12 +77,16 @@ def radius_knn(queries: jnp.ndarray, q_mask: jnp.ndarray,
     if nq <= chunk:
         return process(q, q_mask)
 
-    assert nq % chunk == 0, f"query budget {nq} must be a multiple of chunk {chunk}"
-    n_chunks = nq // chunk
+    # Pad queries up to a chunk multiple (padded rows are masked invalid).
+    n_chunks = -(-nq // chunk)
+    pad = n_chunks * chunk - nq
+    if pad:
+        q = jnp.concatenate([q, jnp.zeros((pad, 3), q.dtype)])
+        q_mask = jnp.concatenate([q_mask, jnp.zeros((pad,), bool)])
     out = jax.lax.map(
         lambda t: process(*t),
         (q.reshape(n_chunks, chunk, 3), q_mask.reshape(n_chunks, chunk)))
-    return out.reshape(nq, k)
+    return out.reshape(n_chunks * chunk, k)[:nq]
 
 
 def radius_knn_batch(queries, q_mask, supports, s_mask, radius, k: int,

@@ -153,26 +153,30 @@ def build_pyramid(points: jnp.ndarray, mask: jnp.ndarray, spec: PyramidSpec,
     for l in range(L):
         pts_l, mask_l = meta['points'][l], meta['masks'][l]
         # Conv neighbors within the level.
-        meta['neighbors'].append(radius_knn_batch(
-            pts_l, mask_l, pts_l, mask_l, spec.radii[l],
-            spec.neighbor_limits[l], chunk))
+        with jax.named_scope(f'knn_l{l}'):
+            meta['neighbors'].append(radius_knn_batch(
+                pts_l, mask_l, pts_l, mask_l, spec.radii[l],
+                spec.neighbor_limits[l], chunk))
 
         if l + 1 < L:
             # dl = 2 * r_normal / conv_radius == voxel_sizes[l+1]  (kpconv.py:498)
-            sub_pts, sub_mask, n_vox = voxel_subsample_batch(
-                pts_l, mask_l, spec.voxel_sizes[l + 1], spec.budgets[l + 1])
+            with jax.named_scope(f'subsample_l{l + 1}'):
+                sub_pts, sub_mask, n_vox = voxel_subsample_batch(
+                    pts_l, mask_l, spec.voxel_sizes[l + 1], spec.budgets[l + 1])
             # Pool: neighbors of the subsampled points among level-l points,
             # searched at the *current* level radius (kpconv.py:511).
-            pools = radius_knn_batch(sub_pts, sub_mask, pts_l, mask_l,
-                                     spec.radii[l], spec.neighbor_limits[l],
-                                     chunk)
+            with jax.named_scope(f'pools_l{l}'):
+                pools = radius_knn_batch(sub_pts, sub_mask, pts_l, mask_l,
+                                         spec.radii[l], spec.neighbor_limits[l],
+                                         chunk)
             meta['pools'].append(pools)
             if need_upsamples:
                 # Upsample: level-l queries over level-(l+1) supports at 2r
                 # (kpconv.py:515-516).
-                meta['upsamples'].append(radius_knn_batch(
-                    pts_l, mask_l, sub_pts, sub_mask, 2.0 * spec.radii[l],
-                    spec.neighbor_limits[l], chunk))
+                with jax.named_scope(f'upsamples_l{l}'):
+                    meta['upsamples'].append(radius_knn_batch(
+                        pts_l, mask_l, sub_pts, sub_mask, 2.0 * spec.radii[l],
+                        spec.neighbor_limits[l], chunk))
             meta['points'].append(sub_pts)
             meta['masks'].append(sub_mask)
             meta['lengths'].append(jnp.sum(sub_mask.astype(jnp.int32), axis=1))

@@ -100,7 +100,8 @@ def compute_rigid_transform(a: jnp.ndarray, b: jnp.ndarray,
     weights = weights.astype(jnp.float32)
 
     w = weights[..., None]
-    w_norm = w / jnp.maximum(jnp.sum(w, axis=-2, keepdims=True), _EPS)
+    w_sum = jnp.sum(w, axis=-2, keepdims=True)
+    w_norm = w / jnp.maximum(w_sum, _EPS)
     centroid_a = jnp.sum(a * w_norm, axis=-2, keepdims=True)
     centroid_b = jnp.sum(b * w_norm, axis=-2, keepdims=True)
     a_c = a - centroid_a
@@ -111,7 +112,15 @@ def compute_rigid_transform(a: jnp.ndarray, b: jnp.ndarray,
     rot = _kabsch_rotation_from_cov(cov)
     translation = (-jnp.matmul(rot, jnp.swapaxes(centroid_a, -1, -2), precision=_HI)
                    + jnp.swapaxes(centroid_b, -1, -2))
-    return jnp.concatenate([rot, translation], axis=-1)
+    pose = jnp.concatenate([rot, translation], axis=-1)
+    # Degenerate guard: with (near-)zero total weight (e.g. every
+    # correspondence padded/filtered) the normalized centroids and covariance
+    # are meaningless — return identity instead of an arbitrary pose. The
+    # reference never hits this because it indexes valid correspondences
+    # dynamically (qk_regtr_full.py:400-421); the fixed-shape build must
+    # handle it explicitly.
+    ok = (w_sum[..., 0, 0] > _EPS)[..., None, None]
+    return jnp.where(ok, pose, se3_identity(pose.shape[:-2], pose.dtype))
 
 
 def _kabsch_rotation_from_cov(cov: jnp.ndarray) -> jnp.ndarray:

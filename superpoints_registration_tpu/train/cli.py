@@ -33,6 +33,12 @@ def parse_args(argv=None):
     p.add_argument('--test', action='store_true', help='run evaluation only')
     p.add_argument('--debug', action='store_true',
                    help='enable NaN checking (reference --debug anomaly mode)')
+    p.add_argument('--profile', action='store_true',
+                   help='capture a jax.profiler trace of the first training / '
+                        'test steps into <run_dir>/profile (view with '
+                        'tensorboard or xprof; stages are named_scope-tagged). '
+                        'Replaces the reference manual stage timers '
+                        '(qk_regtr_full.py:150-290).')
     p.add_argument('--benchmark', default=None,
                    choices=[None, '3DMatch', '3DLoMatch', 'ModelNet', 'ModelLoNet',
                             'Kitti'],
@@ -76,7 +82,8 @@ def main(argv=None):
     trainer = Trainer(cfg, run_dir, niter=args.niter,
                       validate_every=args.validate_every,
                       nb_sanity_val_steps=args.nb_sanity_val_steps,
-                      summary_every=args.summary_every, logger=logger)
+                      summary_every=args.summary_every, logger=logger,
+                      profile=args.profile)
 
     if args.test:
         import jax

@@ -55,12 +55,18 @@ def run_test(cfg, model, params, loader, run_dir, logger,
     if ds_name == '3dmatch':
         benchmark = cfg.get('benchmark', '3DMatch')
         out_dir = os.path.join(run_dir, benchmark)
+        truncated = set()  # truncate each scene's est.log once per run:
+        # appending to a leftover file from a previous run would duplicate
+        # entries and corrupt the recall computation.
         for i, pose in zip(per_sample_indices, poses):
             scene, src_id, tgt_id = dataset.pair_scene_ids(i)
             scene_dir = os.path.join(out_dir, scene)
             os.makedirs(scene_dir, exist_ok=True)
+            est_path = os.path.join(scene_dir, 'est.log')
+            mode = 'a' if est_path in truncated else 'w'
+            truncated.add(est_path)
             pose44 = np.concatenate([pose, [[0., 0., 0., 1.]]], axis=0)
-            with open(os.path.join(scene_dir, 'est.log'), 'a') as f:
+            with open(est_path, mode) as f:
                 f.write(f'{tgt_id}\t{src_id}\t-1\n')
                 for r in range(4):
                     f.write('\t'.join(f'{v:.12f}' for v in pose44[r]) + '\n')
@@ -77,9 +83,22 @@ def run_test(cfg, model, params, loader, run_dir, logger,
 
     elif ds_name in ('modelnet', 'synthetic'):
         # RPMNet metric suite; Chamfer needs the raw clouds from the dataset.
+        # Re-reading dataset[i] on the host is only valid if the collate never
+        # subsampled (transforms are deterministic-by-index): when a cloud
+        # exceeds the budget the model saw a random subset, and metrics on the
+        # full cloud would silently disagree. Refuse instead of mis-reporting.
+        budget = getattr(loader, 'budget', None)
         metric_list = []
         for i, (pose, gt) in enumerate(zip(poses, gts)):
             sample = dataset[per_sample_indices[i]]
+            if budget is not None:
+                n_max = max(len(sample['src_xyz']), len(sample['tgt_xyz']))
+                if n_max > budget:
+                    raise ValueError(
+                        f'test sample {per_sample_indices[i]} has {n_max} points '
+                        f'> budget {budget}: the collate subsampled what the '
+                        f'model saw, so host-side metric recomputation would '
+                        f'use different points. Raise level_budgets[0].')
             raw = sample.get('points_raw', sample['tgt_xyz'])
             m = bm_modelnet.compute_metrics(
                 sample['src_xyz'][None], sample['tgt_xyz'][None], raw[None],

@@ -30,16 +30,18 @@ from ..utils.logging_utils import SummaryWriterWrapper, prepare_logger
 class Trainer:
     def __init__(self, cfg, run_dir, niter: int | None = None,
                  validate_every: int = -1, nb_sanity_val_steps: int = 2,
-                 summary_every: int = 200, logger=None):
+                 summary_every: int = 200, logger=None, profile: bool = False):
         self.cfg = cfg
         self.run_dir = run_dir
         self.niter = niter if niter is not None else cfg.get('niter', -1)
         self.validate_every = validate_every
         self.nb_sanity_val_steps = nb_sanity_val_steps
         self.summary_every = summary_every
+        self.profile = profile
         self.logger = logger or prepare_logger(run_dir)
         self.saver = CheckpointManager(run_dir / 'ckpt',
-                                       max_to_keep=cfg.get('max_to_keep', 6))
+                                       max_to_keep=cfg.get('max_to_keep', 6),
+                                       keep_period=cfg.get('keep_period', None))
         self.train_writer = SummaryWriterWrapper(run_dir / 'tb' / 'train')
         self.val_writer = SummaryWriterWrapper(run_dir / 'tb' / 'val')
 
@@ -73,6 +75,14 @@ class Trainer:
         total_iter = (self.niter if self.niter > 0
                       else len(train_loader) * -self.niter)
         validate_every = self.validate_every
+        if validate_every == 0:
+            # Validate-only mode (reference trainer.py:75-77): run one full
+            # validation pass and exit without training.
+            if val_loader is None:
+                raise ValueError('validate_every=0 requires a val loader')
+            self._run_validation(eval_step, state.params, val_loader, mesh,
+                                 global_step, save=False, state=state)
+            return state
         if validate_every < 0:
             validate_every = -validate_every * len(train_loader)
             self.logger.info('validation interval: %d steps', validate_every)
@@ -87,30 +97,48 @@ class Trainer:
         epoch = 0
         t_start = time.perf_counter()
         done = False
+        # Device-side loss dicts pending host transfer. Fetching every step
+        # (float(losses['total'])) blocks on the device each iteration and
+        # defeats async dispatch; instead losses stay on-device and are
+        # fetched in one batch at summary boundaries.
+        pending: list = []
         while not done:
             train_loader.set_epoch(epoch)
             self.logger.info('epoch %d (steps %d - %d)', epoch, global_step,
                              global_step + len(train_loader))
             for batch in train_loader:
                 global_step += 1
+                # Profile window: steps 2-4 (step 1 pays compilation).
+                if self.profile and global_step == 2:
+                    jax.profiler.start_trace(str(self.run_dir / 'profile'))
                 sharded = shard_batch(batch, mesh)
                 state, losses = train_step(state, sharded)
-
-                total = float(losses['total'])
-                stats.update_dict({k: float(v) for k, v in losses.items()})
-                if loss_smooth is None:
-                    loss_smooth = total
-                elif np.isfinite(total):
-                    loss_smooth = 0.99 * loss_smooth + 0.01 * total
-                else:
-                    self.logger.warning('non-finite loss at step %d (update '
-                                        'skipped on-device)', global_step)
+                pending.append((global_step, losses))
+                if self.profile and global_step == 4:
+                    jax.block_until_ready(losses)
+                    jax.profiler.stop_trace()
+                    self.logger.info('profiler trace written to %s',
+                                     self.run_dir / 'profile')
 
                 if global_step % self.summary_every == 0:
+                    fetched = jax.device_get([l for _, l in pending])
+                    for (step_i, _), vals in zip(pending, fetched):
+                        total = float(vals['total'])
+                        stats.update_dict({k: float(v) for k, v in vals.items()})
+                        if loss_smooth is None:
+                            loss_smooth = total
+                        elif np.isfinite(total):
+                            loss_smooth = 0.99 * loss_smooth + 0.01 * total
+                        else:
+                            self.logger.warning(
+                                'non-finite loss at step %d (update skipped '
+                                'on-device)', step_i)
+                    pending.clear()
                     self.train_writer.scalars('loss', stats.averages(), global_step)
                     rate = global_step / (time.perf_counter() - t_start)
                     self.logger.info('step %d/%d loss %.4f (%.2f it/s)',
-                                     global_step, total_iter, loss_smooth, rate)
+                                     global_step, total_iter, loss_smooth,
+                                     rate)
                     stats.clear()
 
                 if (val_loader is not None and validate_every > 0
@@ -122,6 +150,7 @@ class Trainer:
                     done = True
                     break
             epoch += 1
+        pending.clear()
 
         if val_loader is not None:
             self._run_validation(eval_step, state.params, val_loader, mesh,

@@ -196,6 +196,40 @@ class TestMatchingOracle:
         assert float(err['rot_deg']) < 0.5
         assert float(err['trans']) < 0.01
 
+    def test_ransac_ignores_padded_rows(self, rng):
+        """RANSAC must sample hypotheses only from weight>0 correspondences:
+        padded rows carry garbage coordinates that would wreck Kabsch."""
+        from superpoints_registration_tpu.models.matching import ransac
+        from superpoints_registration_tpu.ops import lie_np
+
+        n_valid, n_pad = 40, 88
+        src = rng.normal(size=(n_valid, 3)).astype(np.float32)
+        pose = np.concatenate([lie_np.sample_rotation_uniform(rng),
+                               rng.normal(size=(3, 1))], axis=1).astype(np.float32)
+        tgt = lie_np.se3_transform(pose, src)
+        # Padded rows: wild garbage with zero weight.
+        src_p = np.concatenate([src, rng.normal(size=(n_pad, 3)) * 1e3]).astype(np.float32)
+        tgt_p = np.concatenate([tgt, rng.normal(size=(n_pad, 3)) * 1e3]).astype(np.float32)
+        w = np.concatenate([np.ones(n_valid), np.zeros(n_pad)]).astype(np.float32)
+
+        est = ransac(jax.random.PRNGKey(0), jnp.asarray(src_p),
+                     jnp.asarray(tgt_p), jnp.asarray(w), iters=32, sample=16)
+        err = se3.se3_compare(est, jnp.asarray(pose))
+        assert float(err['rot_deg']) < 0.5
+        assert float(err['trans']) < 0.01
+
+    def test_ransac_all_zero_weights_finite(self, rng):
+        """Fully degenerate input (no valid correspondence) must return a
+        finite pose, not NaNs from argmin over NaN losses."""
+        from superpoints_registration_tpu.models.matching import ransac
+
+        src = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+        tgt = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+        w = jnp.zeros(64, jnp.float32)
+        est = np.asarray(ransac(jax.random.PRNGKey(1), src, tgt, w,
+                                iters=8, sample=4))
+        assert np.all(np.isfinite(est))
+
 
 class TestBackboneExtras:
     def test_decoder_roundtrip(self, rng):

@@ -90,6 +90,17 @@ class TestKabsch:
         np.testing.assert_allclose(det, 1.0, atol=1e-4)
         np.testing.assert_allclose(lie_np.se3_transform(np.asarray(est), a), b, atol=1e-4)
 
+    def test_all_zero_weights_returns_identity(self, rng):
+        # Every correspondence padded/filtered out: must return a finite pose
+        # (identity), not an arbitrary one from a 0/eps division.
+        a = jnp.asarray(rng.normal(size=(4, 50, 3)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(4, 50, 3)).astype(np.float32))
+        w = jnp.zeros((4, 50), jnp.float32)
+        est = np.asarray(se3.compute_rigid_transform(a, b, w))
+        assert np.all(np.isfinite(est))
+        np.testing.assert_allclose(est, np.asarray(se3.se3_identity((4,))),
+                                   atol=1e-6)
+
     def test_jit_and_grad(self, rng):
         a = jnp.asarray(rng.normal(size=(32, 3)).astype(np.float32))
         b = jnp.asarray(rng.normal(size=(32, 3)).astype(np.float32))
