@@ -71,13 +71,18 @@ def closest_pool(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 def _fused_table_gather(s_pts, feat_list, idx, bf16: bool):
     """One flat XLA row-gather of [coords | feats...] for a stack of clouds.
 
-    Returns (neighbors (B,Q,K,3) f32, feats (B,Q,K,sum C) f32); shadow rows
-    get coords == _SHADOW_DIST and zero features. bf16 stores coords as
-    hi/lo bf16 halves (~2^-16 precision).
+    Returns (neighbors (B,Q,K,3) f32, feats (B,Q,K,sum C) — bf16 when
+    `bf16`); shadow rows get coords == _SHADOW_DIST and zero features. bf16
+    stores coords as hi/lo bf16 halves (~2^-16 precision) and KEEPS the
+    feature payload bf16: upcasting (B,Q,K,C) to f32 costs as much HBM
+    traffic as the gather itself, and every consumer (influence product,
+    aggregation einsum) is happy with bf16 operands + f32 accumulation.
 
     The gather is a single flat `jnp.take` over the (B*N+1, D) table with
-    globalized indices (see gather_rows): ~3.6x faster than the batched
-    take_along_axis form on v5e for bf16 tables.
+    globalized indices (see gather_rows). Measured on v5e: ~3.1-3.5 ns/row
+    for bf16 tables up to 128 columns, 4x worse past 128 columns and for
+    f32 tables — keep tables bf16 and under 128 columns (callers split
+    wider payloads into separate gathers).
     """
     b, n, _ = s_pts.shape
     cs = [f.shape[-1] for f in feat_list]
@@ -110,7 +115,7 @@ def _fused_table_gather(s_pts, feat_list, idx, bf16: bool):
     g = g.reshape(*idx.shape, coord_cols + c_tot)
     if bf16:
         nb = g[..., :3].astype(jnp.float32) + g[..., 3:6].astype(jnp.float32)
-        feats = g[..., 6:].astype(jnp.float32)
+        feats = g[..., 6:]                   # stays bf16
     else:
         nb = g[..., :3]
         feats = g[..., 3:]
@@ -235,8 +240,16 @@ class KPConvOp(nn.Module):
         if neighb_x is None:
             neighb_x = gather_rows(x, neighb_inds, pad_value=0.0)  # (B,Nq,K,C)
 
+        # bf16 gather mode: keep the (B,Nq,K,*) operands bf16 — influence
+        # weights carry ~1% clip/sqrt noise anyway and the einsum accumulates
+        # in f32; materializing these tensors in f32 doubles the dominant
+        # HBM traffic of the block.
+        if neighb_x.dtype == jnp.bfloat16:
+            all_weights = all_weights.astype(jnp.bfloat16)
+
         # (B,Nq,Kp,K) @ (B,Nq,K,C) -> (B,Nq,Kp,C); then contract kernel dim.
-        weighted = jnp.einsum('bnkp,bnkc->bnpc', all_weights, neighb_x)
+        weighted = jnp.einsum('bnkp,bnkc->bnpc', all_weights, neighb_x,
+                              preferred_element_type=jnp.float32)
         if modulations is not None:
             weighted = weighted * modulations[..., None]
         out = jnp.einsum('bnpc,pcd->bnd', weighted, weights,
@@ -245,7 +258,8 @@ class KPConvOp(nn.Module):
         # Normalize by the number of contributing neighbors: the reference
         # counts rows whose feature-sum > 0 (kpconv_blocks.py:409-412), which
         # excludes shadow rows (zero features).
-        contrib = jnp.sum(jnp.sum(neighb_x, axis=-1) > 0.0, axis=-1)
+        contrib = jnp.sum(jnp.sum(neighb_x.astype(jnp.float32), axis=-1) > 0.0,
+                          axis=-1)
         contrib = jnp.maximum(contrib, 1).astype(out.dtype)
         return out / contrib[..., None]
 
@@ -352,16 +366,22 @@ class ResnetBottleneckBlock(nn.Module):
                           gather_dtype=cfg.get('gather_dtype', 'float32'))
 
         if strided and cfg.get('gather_impl', 'auto') != 'pallas':
-            # Fuse the KPConv feature gather and the max-pool shortcut gather:
-            # both read the SAME pool indices, and XLA gather cost is per-row
-            # regardless of width -> one combined [coords | h | x] gather.
-            pre_nb, pre_feats = _fused_table_gather(
-                s_pts, [h, x], inds,
-                bf16=cfg.get('gather_dtype', 'float32') == 'bfloat16')
-            h_g = pre_feats[..., :mid]
-            x_g = pre_feats[..., mid:]
+            bf16 = cfg.get('gather_dtype', 'float32') == 'bfloat16'
+            if bf16 and 3 + 3 + mid + x.shape[-1] > 128:
+                # XLA gather cost jumps ~4x past 128 table columns (measured
+                # 3.5 -> 13.7 ns/row on v5e): gather [coords|h] and the
+                # shortcut features separately instead of one wide fused row.
+                pre_nb, h_g = _fused_table_gather(s_pts, [h], inds, bf16=True)
+                x_g = gather_rows(x.astype(jnp.bfloat16), inds, pad_value=0.0)
+            else:
+                # Fuse the KPConv feature gather and the max-pool shortcut
+                # gather: both read the SAME pool indices.
+                pre_nb, pre_feats = _fused_table_gather(
+                    s_pts, [h, x], inds, bf16=bf16)
+                h_g = pre_feats[..., :mid]
+                x_g = pre_feats[..., mid:]
             h = kpconv(q_pts, s_pts, inds, h, pregathered=(pre_nb, h_g))
-            shortcut = jnp.max(x_g, axis=2)
+            shortcut = jnp.max(x_g, axis=2).astype(jnp.float32)
         else:
             h = kpconv(q_pts, s_pts, inds, h)
             if strided:

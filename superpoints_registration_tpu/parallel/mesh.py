@@ -62,6 +62,25 @@ def shard_batch(batch: dict, mesh: Mesh, data_axis: str = 'data') -> dict:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def host_local_to_global(batch: dict, mesh: Mesh, data_axis: str = 'data') -> dict:
+    """Assemble a global sharded batch from each host's LOCAL shard.
+
+    Multi-host: every process passes only its own loader shard
+    (get_dataloader(..., num_shards=jax.process_count(),
+    shard_index=jax.process_index())); the returned arrays are global jax
+    Arrays whose leading axis is the concatenation over processes, sharded
+    over `data_axis`. Replaces torch's DistributedSampler + DDP input split
+    (src/data_loaders/__init__.py:76). Single-process: identical to
+    shard_batch.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh, data_axis)
+    sh = batch_sharding(mesh, data_axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch)
+
+
 def is_main_process() -> bool:
     """Rank-0 check (src/utils/comm.py:29-33 equivalent)."""
     return jax.process_index() == 0

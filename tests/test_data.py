@@ -218,3 +218,67 @@ class TestKittiDataset:
         dist, _ = cKDTree(d['tgt_xyz']).query(warped, k=1)
         assert np.median(dist) < 0.5
         assert d['src_overlap'].mean() > 0.5
+
+    def test_icp_gt_refinement_beats_raw_odometry(self, tmp_path, rng):
+        """VERDICT #9: the own-ICP GT refinement must pull a drifted odometry
+        pose back to the true relative pose (KITTI recall is sensitive to GT
+        quality; the reference refines with Open3D ICP, kitti_pred.py:161-183).
+        Built as a synthetic LiDAR-like pair with KNOWN truth + odometry error."""
+        from superpoints_registration_tpu.data.kitti import (
+            KittiPairDataset, velo2cam_4x4)
+
+        # LiDAR-ish structured scene: ground plane + walls, in the src frame.
+        n = 6000
+        ground = np.concatenate(
+            [rng.uniform(-30, 30, (n // 2, 2)),
+             rng.normal(size=(n // 2, 1)) * 0.03 - 1.7], axis=1)
+        walls = np.concatenate(
+            [rng.uniform(-30, 30, (n // 2, 1)),
+             np.sign(rng.normal(size=(n // 2, 1))) * 8
+             + rng.normal(size=(n // 2, 1)) * 0.05,
+             rng.uniform(-1.5, 3, (n // 2, 1))], axis=1)
+        src = np.concatenate([ground, walls]).astype(np.float32)
+
+        # True relative velo pose: 12 m forward + small yaw.
+        true_rel = np.eye(4)
+        yaw = 0.03
+        true_rel[:3, :3] = np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                                     [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]])
+        true_rel[:3, 3] = [12.0, 0.4, 0.0]
+        tgt = (src @ true_rel[:3, :3].T + true_rel[:3, 3]).astype(np.float32)
+
+        # Odometry (cam frame) with drift: perturb the true pose by ~0.25 m
+        # and ~1 degree before handing it to the refinement.
+        v2c = velo2cam_4x4()
+        drift = np.eye(4)
+        ang = np.radians(1.0)
+        drift[:3, :3] = np.array([[np.cos(ang), 0, np.sin(ang)],
+                                  [0, 1, 0], [-np.sin(ang), 0, np.cos(ang)]])
+        drift[:3, 3] = [0.15, -0.12, 0.15]
+        noisy_rel = drift @ true_rel
+        # _gt_pose computes m = (v2c @ p0^T @ inv(p1^T) @ inv(v2c))^T from cam
+        # odometry rows p0, p1; build p0 = I, p1 such that m == noisy_rel.
+        p0 = np.eye(4)
+        # m^T = v2c p0^T inv(p1^T) inv(v2c) -> with p0 = I:
+        # p1^T = inv(inv(v2c) @ m^T @ v2c) ... solve directly:
+        p1_t = np.linalg.inv(np.linalg.inv(v2c) @ noisy_rel.T @ v2c)
+        p1 = p1_t.T
+
+        ds = KittiPairDataset.__new__(KittiPairDataset)
+        ds.icp_path = str(tmp_path)
+        ds._odometry_cache = {
+            'fake': np.stack([p0[:3].reshape(-1), p1[:3].reshape(-1)])}
+        ds._odometry = lambda drive: ds._odometry_cache['fake']
+
+        refined = ds._gt_pose('fake', 0, 1, src, tgt)
+
+        def err(m):
+            dr = m[:3, :3] @ true_rel[:3, :3].T
+            ang = np.degrees(np.arccos(np.clip((np.trace(dr) - 1) / 2, -1, 1)))
+            return ang, np.linalg.norm(m[:3, 3] - true_rel[:3, 3])
+
+        rot_before, trans_before = err(noisy_rel)
+        rot_after, trans_after = err(refined)
+        assert trans_before > 0.15 and rot_before > 0.9  # drift actually injected
+        assert trans_after < 0.05, (trans_before, trans_after)
+        assert rot_after < 0.2, (rot_before, rot_after)
