@@ -157,3 +157,40 @@ def sample_small_pose(key: jax.Array, std: float, shape=()) -> jnp.ndarray:
     rot = so3_exp(axis * theta)
     trans = jax.random.normal(k3, tuple(shape) + (3, 1)) * std / jnp.sqrt(3.0)
     return jnp.concatenate([rot, trans], axis=-1)
+
+
+def so3_left_jacobian(omega: jnp.ndarray) -> jnp.ndarray:
+    """Left Jacobian of SO(3): J_l(w) (..., 3) -> (..., 3, 3).
+
+    J_l = I + (1-cos t)/t^2 [w]_x + (t - sin t)/t^3 [w]_x^2.
+    Thin port of the reference Lie classes' jacobian API
+    (cvhelpers/lie/numpy/so3.py jacobian methods); Taylor-safe near zero.
+    """
+    theta = jnp.linalg.norm(omega, axis=-1)
+    hat = so3_hat(omega)
+    hat2 = jnp.matmul(hat, hat)
+    t = jnp.maximum(theta, _EPS)
+    a = (1.0 - jnp.cos(t)) / (t ** 2)
+    b = (t - jnp.sin(t)) / (t ** 3)
+    near = theta < 1e-4
+    a = jnp.where(near, 0.5 - theta ** 2 / 24.0, a)
+    b = jnp.where(near, 1.0 / 6.0 - theta ** 2 / 120.0, b)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype),
+                           omega.shape[:-1] + (3, 3))
+    return eye + a[..., None, None] * hat + b[..., None, None] * hat2
+
+
+def so3_inv_left_jacobian(omega: jnp.ndarray) -> jnp.ndarray:
+    """Inverse left Jacobian of SO(3):
+    J_l^-1 = I - 1/2 [w]_x + (1/t^2 - (1+cos t)/(2 t sin t)) [w]_x^2."""
+    theta = jnp.linalg.norm(omega, axis=-1)
+    hat = so3_hat(omega)
+    hat2 = jnp.matmul(hat, hat)
+    t = jnp.maximum(theta, _EPS)
+    c = (1.0 / t ** 2
+         - (1.0 + jnp.cos(t)) / (2.0 * t * jnp.maximum(jnp.sin(t), _EPS)))
+    near = theta < 1e-4
+    c = jnp.where(near, 1.0 / 12.0 + theta ** 2 / 720.0, c)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype),
+                           omega.shape[:-1] + (3, 3))
+    return eye - 0.5 * hat + c[..., None, None] * hat2

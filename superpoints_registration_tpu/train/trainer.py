@@ -163,14 +163,21 @@ class Trainer:
                         limit_steps: int | None = None, save: bool = True,
                         state=None):
         meter = StatsMeter()
+        hists: dict = {}
         for i, batch in enumerate(val_loader):
             if limit_steps is not None and i >= limit_steps:
                 break
             sharded = shard_batch(batch, mesh)
             small, losses, metrics = eval_step(params, sharded)
             meter.update_dict({f'loss_{k}': float(v) for k, v in losses.items()})
+            # Metrics named *_hist get a tensorboard histogram of their raw
+            # values (generic_reg_model.py:137-141); everything else a mean.
             meter.update_dict({k: float(np.asarray(v).mean())
-                               for k, v in metrics.items()})
+                               for k, v in metrics.items()
+                               if not k.endswith('_hist')})
+            for k, v in metrics.items():
+                if k.endswith('_hist'):
+                    hists.setdefault(k, []).append(np.asarray(v).ravel())
             overflow = np.asarray(small.get('pyramid_overflow', 0)).max()
             if overflow > 0:
                 self.logger.warning(
@@ -179,6 +186,8 @@ class Trainer:
         avg = meter.averages()
         self.logger.info('validation @%d: %s', step, meter)
         self.val_writer.scalars('val', avg, step)
+        for k, chunks in hists.items():
+            self.val_writer.histogram(f'val/{k}', np.concatenate(chunks), step)
         score = avg.get('reg_success', 0.0)
         if save and state is not None:
             self.saver.save(step, state, score=score)

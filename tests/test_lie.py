@@ -79,3 +79,37 @@ class TestSampling:
         errs = se3.se3_compare(jnp2.asarray(poses),
                                se3.se3_identity((32,)))
         assert float(np.asarray(errs['rot_deg']).mean()) < 5.0
+
+
+class TestJacobians:
+    def test_left_jacobian_matches_numeric(self, rng):
+        """J_l satisfies exp(w + J_l(w) dw) ~= exp(dw_world) exp(w) to first
+        order, i.e. d/d eps log(exp(eps v) exp(w)) = J_l^-1 ... verify via the
+        defining series identity J_l = sum_k hat^k / (k+1)!."""
+        from superpoints_registration_tpu.ops import lie
+        w = jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32))
+        hat = lie.so3_hat(w)
+        expected = np.zeros((5, 3, 3), np.float64)
+        term = np.broadcast_to(np.eye(3), (5, 3, 3)).astype(np.float64).copy()
+        import math
+        for k in range(12):
+            expected += term / math.factorial(k + 1)
+            term = term @ np.asarray(hat, np.float64)
+        got = np.asarray(lie.so3_left_jacobian(w))
+        np.testing.assert_allclose(got, expected, atol=5e-5)
+
+    def test_inv_left_jacobian_is_inverse(self, rng):
+        from superpoints_registration_tpu.ops import lie
+        w = jnp.asarray(rng.normal(size=(7, 3)).astype(np.float32))
+        prod = np.asarray(jnp.matmul(lie.so3_left_jacobian(w),
+                                     lie.so3_inv_left_jacobian(w)))
+        np.testing.assert_allclose(prod, np.broadcast_to(np.eye(3), (7, 3, 3)),
+                                   atol=1e-5)
+
+    def test_near_zero_stable(self):
+        from superpoints_registration_tpu.ops import lie
+        w = jnp.zeros((2, 3), jnp.float32).at[1].set(1e-7)
+        j = np.asarray(lie.so3_left_jacobian(w))
+        ji = np.asarray(lie.so3_inv_left_jacobian(w))
+        assert np.all(np.isfinite(j)) and np.all(np.isfinite(ji))
+        np.testing.assert_allclose(j[0], np.eye(3), atol=1e-6)
