@@ -25,11 +25,11 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("k", "chunk", "exact"))
+@partial(jax.jit, static_argnames=("k", "chunk", "exact", "recall"))
 def radius_knn(queries: jnp.ndarray, q_mask: jnp.ndarray,
                supports: jnp.ndarray, s_mask: jnp.ndarray,
                radius, k: int, chunk: int = 1024,
-               exact: bool = False) -> jnp.ndarray:
+               exact: bool = False, recall: float = 0.95) -> jnp.ndarray:
     """K-nearest neighbors within `radius`, shadow-padded to fixed K.
 
     Args:
@@ -81,7 +81,7 @@ def radius_knn(queries: jnp.ndarray, q_mask: jnp.ndarray,
             # the radius test are boundary-accurate to ~0.2% of r, far below
             # the 0.95 recall_target's own miss rate.
             neg_vals, idx = jax.lax.approx_max_k(
-                -sqd.astype(jnp.bfloat16), k, recall_target=0.95)
+                -sqd.astype(jnp.bfloat16), k, recall_target=recall)
             neg_vals = neg_vals.astype(jnp.float32)
         ok = (-neg_vals <= r_sq) & qm_chunk[:, None]
         return jnp.where(ok, idx, ns).astype(jnp.int32)
@@ -102,8 +102,9 @@ def radius_knn(queries: jnp.ndarray, q_mask: jnp.ndarray,
 
 
 def radius_knn_batch(queries, q_mask, supports, s_mask, radius, k: int,
-                     chunk: int = 1024, exact: bool = False):
+                     chunk: int = 1024, exact: bool = False,
+                     recall: float = 0.95):
     """Batched over clouds: (B, Nq, 3), (B, Nq), (B, Ns, 3), (B, Ns) -> (B, Nq, K)."""
     def fn(q, qm, s, sm):
-        return radius_knn(q, qm, s, sm, radius, k, chunk, exact)
+        return radius_knn(q, qm, s, sm, radius, k, chunk, exact, recall)
     return jax.vmap(fn)(queries, q_mask, supports, s_mask)

@@ -46,6 +46,8 @@ class PyramidSpec:
     radii: tuple                  # len L; conv radius at each level
     neighbor_limits: tuple        # len L; K at each level
     budgets: tuple                # len L; static N_l point budgets
+    exact: bool = False           # exact top_k instead of approx_max_k
+    recall: float = 0.95          # approx_max_k recall target
 
     @staticmethod
     def from_config(cfg, budgets: Sequence[int] | None = None) -> "PyramidSpec":
@@ -89,7 +91,10 @@ class PyramidSpec:
         budgets = tuple(int(b) for b in budgets[:num_levels])
         assert len(budgets) == num_levels, \
             f"need {num_levels} budgets, got {len(budgets)}"
-        return PyramidSpec(num_levels, voxel_sizes, radii, limits, budgets)
+        g = cfg.get if hasattr(cfg, 'get') else lambda k, d: getattr(cfg, k, d)
+        return PyramidSpec(num_levels, voxel_sizes, radii, limits, budgets,
+                           exact=bool(g('neighbor_exact', False)),
+                           recall=float(g('neighbor_recall', 0.95)))
 
 
 @partial(jax.jit, static_argnames=("spec", "need_upsamples", "chunk"))
@@ -156,7 +161,7 @@ def build_pyramid(points: jnp.ndarray, mask: jnp.ndarray, spec: PyramidSpec,
         with jax.named_scope(f'knn_l{l}'):
             meta['neighbors'].append(radius_knn_batch(
                 pts_l, mask_l, pts_l, mask_l, spec.radii[l],
-                spec.neighbor_limits[l], chunk))
+                spec.neighbor_limits[l], chunk, spec.exact, spec.recall))
 
         if l + 1 < L:
             # dl = 2 * r_normal / conv_radius == voxel_sizes[l+1]  (kpconv.py:498)
@@ -168,7 +173,7 @@ def build_pyramid(points: jnp.ndarray, mask: jnp.ndarray, spec: PyramidSpec,
             with jax.named_scope(f'pools_l{l}'):
                 pools = radius_knn_batch(sub_pts, sub_mask, pts_l, mask_l,
                                          spec.radii[l], spec.neighbor_limits[l],
-                                         chunk)
+                                         chunk, spec.exact, spec.recall)
             meta['pools'].append(pools)
             if need_upsamples:
                 # Upsample: level-l queries over level-(l+1) supports at 2r
@@ -176,7 +181,8 @@ def build_pyramid(points: jnp.ndarray, mask: jnp.ndarray, spec: PyramidSpec,
                 with jax.named_scope(f'upsamples_l{l}'):
                     meta['upsamples'].append(radius_knn_batch(
                         pts_l, mask_l, sub_pts, sub_mask, 2.0 * spec.radii[l],
-                        spec.neighbor_limits[l], chunk))
+                        spec.neighbor_limits[l], chunk, spec.exact,
+                        spec.recall))
             meta['points'].append(sub_pts)
             meta['masks'].append(sub_mask)
             meta['lengths'].append(jnp.sum(sub_mask.astype(jnp.int32), axis=1))

@@ -1,0 +1,112 @@
+"""Approximation-stack ablation: trained recall under each inference variant.
+
+Quantifies the accuracy cost of every TPU-side approximation against the
+registration-recall protocol (VERDICT round-1 item 3): exact top_k vs
+approx_max_k (0.90/0.95/0.99), bf16 vs f32 gather tables, bf16 vs f32
+transformer compute. Each variant re-runs the full test protocol
+(est.log -> benchmark/predator.py) with the SAME trained checkpoint; only
+the inference-time configuration changes.
+
+Usage:
+    python -m superpoints_registration_tpu.train.ablation \
+        --config regtr_synth3dmatch --resume <ckpt_dir> \
+        [--out docs/ABLATION.md]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pathlib
+import time
+
+VARIANTS = [
+    ('baseline (approx 0.95, bf16 gather, bf16 transformer)', {}),
+    ('exact neighbor top-k', {'neighbor_exact': True}),
+    ('approx_max_k recall 0.90', {'neighbor_recall': 0.90}),
+    ('approx_max_k recall 0.99', {'neighbor_recall': 0.99}),
+    ('f32 gather tables', {'gather_dtype': 'float32'}),
+    ('f32 transformer compute', {'transformer_compute_dtype': 'float32'}),
+]
+
+
+def run(cfg, resume, out_path, logger, variants=VARIANTS):
+    import jax
+    import numpy as np
+    from ..data.loader import get_dataloader
+    from ..models import build_model
+    from ..parallel.train_step import TrainState
+    from .checkpoint import CheckpointManager
+    from .optim import make_optimizer
+
+    rows = []
+    params_cache = {}
+    for name, overrides in variants:
+        vcfg = cfg.copy()
+        vcfg.update(overrides)
+        model = build_model(vcfg.get('model', 'regtr.RegTR'), vcfg)
+        test_loader = get_dataloader(vcfg, 'test')
+        if 'params' not in params_cache:
+            first = next(iter(test_loader))
+            init = jax.jit(model.init)(jax.random.PRNGKey(0), first)
+            template = TrainState.create(init, make_optimizer(vcfg))
+            state, step = CheckpointManager(resume).restore(template)
+            params_cache['params'] = state.params
+            params_cache['step'] = step
+            logger.info('checkpoint step %d', step)
+        run_dir = pathlib.Path(out_path).parent / 'ablation_runs' / \
+            name.replace(' ', '_').replace('(', '').replace(')', '').replace(',', '')
+        run_dir.mkdir(parents=True, exist_ok=True)
+        from .evaluate import run_test
+        t0 = time.perf_counter()
+        results = run_test(vcfg, model, params_cache['params'], test_loader,
+                           str(run_dir), logger)
+        dt = time.perf_counter() - t0
+        rows.append((name, results.get('registration_recall', float('nan')),
+                     results.get('rot_err_deg_mean', float('nan')),
+                     results.get('trans_err_mean', float('nan')), dt))
+        logger.info('%s -> recall %.4f', name, rows[-1][1])
+
+    lines = [
+        '# Approximation-stack ablation',
+        '',
+        f'Checkpoint: `{resume}` (step {params_cache.get("step", "?")}), '
+        f'dataset `{cfg.get("dataset")}` benchmark '
+        f'`{cfg.get("benchmark", "3DMatch")}` — registration recall via '
+        'the Predator protocol (benchmark/predator.py). Every variant is the '
+        'SAME weights; only inference-time numerics change.',
+        '',
+        '| Variant | recall | mean RRE (deg) | mean RTE (m) | eval s |',
+        '|---|---|---|---|---|',
+    ]
+    base = rows[0][1]
+    for name, recall, rre, rte, dt in rows:
+        delta = '' if np.isnan(recall) else f' ({recall - base:+.4f})'
+        lines.append(f'| {name} | {recall:.4f}{delta} | {rre:.3f} | '
+                     f'{rte:.4f} | {dt:.0f} |')
+    lines.append('')
+    lines.append('Guardrail (SURVEY §6 / BASELINE.md): any variant costing '
+                 '>0.5% recall must not be a default.')
+    pathlib.Path(out_path).write_text('\n'.join(lines) + '\n')
+    logger.info('wrote %s', out_path)
+    return rows
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('--config', required=True)
+    p.add_argument('--resume', required=True)
+    p.add_argument('--out', default='docs/ABLATION.md')
+    args = p.parse_args(argv)
+
+    import logging
+    logging.basicConfig(level=logging.INFO)
+    logger = logging.getLogger('ablation')
+    from ..config import load_builtin, load_config
+    cfg_path = pathlib.Path(args.config)
+    cfg = (load_config(cfg_path) if cfg_path.exists()
+           else load_builtin(args.config))
+    run(cfg, args.resume, args.out, logger)
+
+
+if __name__ == '__main__':
+    main()

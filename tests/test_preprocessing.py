@@ -203,3 +203,35 @@ class TestPyramid:
                              need_upsamples=True)
         assert len(meta['upsamples']) == 2
         assert meta['upsamples'][0].shape == (1, 512, 16)
+
+
+class TestNeighborKnobs:
+    def test_exact_and_recall_knobs_from_config(self):
+        from superpoints_registration_tpu.config import Config
+        from superpoints_registration_tpu.ops.pyramid import PyramidSpec
+        base = dict(architecture=['simple', 'resnetb_strided', 'resnetb'],
+                    first_subsampling_dl=0.05, conv_radius=2.5,
+                    neighborhood_limits=[12, 12], level_budgets=[256, 128])
+        spec = PyramidSpec.from_config(Config(base))
+        assert spec.exact is False and spec.recall == 0.95
+        spec2 = PyramidSpec.from_config(Config(dict(base, neighbor_exact=True,
+                                                    neighbor_recall=0.9)))
+        assert spec2.exact is True and spec2.recall == 0.9
+
+    def test_exact_matches_oracle_small(self, rng):
+        import jax.numpy as jnp
+        from superpoints_registration_tpu.ops.neighbors import radius_knn
+        pts = jnp.asarray(rng.normal(size=(128, 3)).astype(np.float32))
+        m = jnp.ones(128, bool)
+        a = np.asarray(radius_knn(pts, m, pts, m, 0.5, 8, exact=True))
+        b = np.asarray(radius_knn(pts, m, pts, m, 0.5, 8, exact=False,
+                                  recall=0.99))
+        # On CPU approx_max_k is exact; the bf16 distance copy may flip
+        # points within ~0.4% of the radius boundary, so compare on
+        # strictly-interior neighbors only.
+        p = np.asarray(pts)
+        for i in range(128):
+            sa, sb = set(a[i].tolist()) - {128}, set(b[i].tolist()) - {128}
+            for j in sa ^ sb:   # disagreements must be boundary cases
+                d = np.linalg.norm(p[i] - p[j])
+                assert abs(d - 0.5) < 0.01, (i, j, d)
