@@ -47,11 +47,19 @@ class MultiheadAttention(nn.Module):
         kh = proj(k, 'k_proj').reshape(*k.shape[:-1], self.nhead, d_head)
         vh = proj(v, 'v_proj').reshape(*v.shape[:-1], self.nhead, d_head)
 
+        # In bf16 mode the (B, H, S, S) score matrix — by far the layer's
+        # largest tensor — is stored bf16 too; softmax runs its reductions
+        # in f32 (fused, nothing f32 materializes). Logit resolution at
+        # |scores| <= ~30 is ~0.12, well under softmax noise that matters;
+        # docs/ABLATION.md quantifies the recall effect of f32 vs bf16.
         scores = jnp.einsum('bqhd,bkhd->bhqk', qh, kh,
-                            preferred_element_type=jnp.float32) / (d_head ** 0.5)
+                            preferred_element_type=cdt) / (d_head ** 0.5)
         if key_valid is not None:
-            scores = jnp.where(key_valid[:, None, None, :], scores, _NEG_INF)
-        attn = nn.softmax(scores, axis=-1).astype(cdt)
+            scores = jnp.where(key_valid[:, None, None, :], scores,
+                               jnp.asarray(_NEG_INF, cdt))
+        mx = jnp.max(scores.astype(jnp.float32), axis=-1, keepdims=True)
+        ex = jnp.exp(scores.astype(jnp.float32) - mx)
+        attn = (ex / jnp.sum(ex, axis=-1, keepdims=True)).astype(cdt)
         out = jnp.einsum('bhqk,bkhd->bqhd', attn, vh,
                          preferred_element_type=jnp.float32)
         out = out.reshape(*q.shape[:-1], self.d_model).astype(jnp.float32)
