@@ -18,8 +18,11 @@ def pose_metrics(pose_pred: jnp.ndarray, pose_gt: jnp.ndarray,
     err = se3.se3_compare(pose_pred, pose_gt)
     success = ((err['rot_deg'] < thresh_rot_deg) &
                (err['trans'] < thresh_trans)).astype(jnp.float32)
+    # *_hist entries become tensorboard histograms during validation
+    # (generic_reg_model.py:137-141 convention).
     return {'rot_err_deg': err['rot_deg'], 'trans_err': err['trans'],
-            'reg_success': success}
+            'reg_success': success,
+            'rot_err_deg_hist': err['rot_deg'], 'trans_err_hist': err['trans']}
 
 
 class StatsMeter:
