@@ -129,3 +129,45 @@ class TestModelNetMetrics:
         pts = np.random.default_rng(0).normal(size=(1, 50, 3))
         m = modelnet.compute_metrics(pts, pts, pts, gt, pred)
         assert m['err_r_deg'][0] == pytest.approx(10.0, abs=1e-4)
+
+
+class TestSyntheticCorpus:
+    def test_generate_load_evaluate_roundtrip(self, tmp_path):
+        """Corpus generator -> dataset loader -> gt.log/gt.info -> predator
+        benchmark: feeding the GT poses as estimates must score recall 1.0."""
+        import os, glob, shutil
+        from superpoints_registration_tpu.data.synthetic3dmatch import generate
+        from superpoints_registration_tpu.data.threedmatch import (
+            ThreeDMatchPairDataset)
+        from superpoints_registration_tpu.benchmark import predator
+        from superpoints_registration_tpu.config import Config
+        from superpoints_registration_tpu.ops import lie_np
+
+        out = str(tmp_path / 'corpus')
+        s = generate(out, train_scenes=0, val_scenes=0, test_scenes=1,
+                     fragments_per_scene=5, seed=3)
+        assert s['test_pairs'] >= 1
+
+        cfg = Config(root=out, metadata_dir=os.path.join(out, 'metadata'),
+                     benchmark='3DMatch', overlap_radius=0.0375, seed=0)
+        ds = ThreeDMatchPairDataset(cfg, 'test')
+        d = ds[0]
+        # GT pose actually aligns the fragments.
+        warped = lie_np.se3_transform(d['pose'],
+                                      d['src_xyz'][d['src_overlap'] > 0])
+        from scipy.spatial import cKDTree
+        dist, _ = cKDTree(d['tgt_xyz']).query(warped, k=1)
+        assert np.median(dist) < 0.04
+        scene, src_id, tgt_id = ds.pair_scene_ids(0)
+        assert src_id > tgt_id  # real-3DMatch convention
+
+        scene_dir = glob.glob(os.path.join(out, 'benchmarks/3DMatch/*'))[0]
+        est_root = str(tmp_path / 'est')
+        os.makedirs(os.path.join(est_root, os.path.basename(scene_dir)))
+        shutil.copy(os.path.join(scene_dir, 'gt.log'),
+                    os.path.join(est_root, os.path.basename(scene_dir),
+                                 'est.log'))
+        _, recall, _ = predator.benchmark(
+            est_root, os.path.join(out, 'benchmarks/3DMatch'),
+            save_errors=False)
+        assert recall == 1.0

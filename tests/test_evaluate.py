@@ -82,3 +82,24 @@ def test_3dmatch_est_log_written_and_benchmarked(tmp_path, rng):
             np.testing.assert_allclose(np.linalg.det(m[:3, :3]), 1.0, atol=1e-3)
     assert 'registration_recall' in results
     assert 0.0 <= results['registration_recall'] <= 1.0
+
+
+class TestVizHtml:
+    def test_export_registration_html(self, tmp_path, rng):
+        from superpoints_registration_tpu.utils.viz_html import (
+            export_registration_html)
+        from superpoints_registration_tpu.ops import lie_np
+        src = rng.normal(size=(500, 3)).astype(np.float32)
+        pose = np.concatenate([lie_np.sample_rotation_uniform(rng),
+                               rng.normal(size=(3, 1))], 1).astype(np.float32)
+        tgt = lie_np.se3_transform(pose, src)
+        out = export_registration_html(str(tmp_path / 'reg.html'), src, tgt,
+                                       pose, pose_gt=pose)
+        html = open(out).read()
+        assert '<canvas' in html and 'CLOUDS' in html
+        import json, base64, re
+        m = re.search(r'const CLOUDS = (\[.*?\]);\n', html, re.S)
+        clouds = json.loads(m.group(1))
+        assert len(clouds) == 4
+        raw = np.frombuffer(base64.b64decode(clouds[0]['b64']), np.float32)
+        np.testing.assert_allclose(raw.reshape(-1, 3), src, atol=1e-6)
