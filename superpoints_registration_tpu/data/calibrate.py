@@ -20,9 +20,7 @@ import numpy as np
 def calibrate(dataset, cfg, n_samples: int = 50, keep_ratio: float = 0.8,
               max_k: int = 128, budget_headroom: float = 1.1):
     """Returns dict with suggested neighborhood_limits and level_budgets."""
-    import jax
     import jax.numpy as jnp
-    from ..ops.pyramid import PyramidSpec
     from ..ops.neighbors import radius_knn
     from ..ops.subsample import voxel_subsample
 

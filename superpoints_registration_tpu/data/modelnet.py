@@ -8,7 +8,6 @@ points_raw for the ModelNet Chamfer metric.
 """
 from __future__ import annotations
 
-import glob
 import os
 
 import numpy as np

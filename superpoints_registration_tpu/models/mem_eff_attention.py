@@ -10,7 +10,6 @@ transformer.MultiheadAttention via cfg.attention_impl = 'chunked'.
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

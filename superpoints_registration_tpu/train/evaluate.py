@@ -16,7 +16,7 @@ import numpy as np
 
 from ..benchmark import modelnet as bm_modelnet
 from ..benchmark import predator as bm_predator
-from ..ops import se3
+
 from ..parallel.mesh import make_mesh_for_batch, shard_batch
 from ..parallel.train_step import make_eval_step
 
