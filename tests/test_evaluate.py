@@ -103,3 +103,35 @@ class TestVizHtml:
         assert len(clouds) == 4
         raw = np.frombuffer(base64.b64decode(clouds[0]['b64']), np.float32)
         np.testing.assert_allclose(raw.reshape(-1, 3), src, atol=1e-6)
+
+
+class TestTraceSummary:
+    def test_hlo_join_and_aggregation(self, tmp_path):
+        import gzip, json
+        from superpoints_registration_tpu.utils.trace_summary import summarize
+        # Fake HLO dump: two instructions with scope metadata, one fused
+        # computation whose fusion inherits the member scope.
+        hlo = tmp_path / 'hlo'
+        hlo.mkdir()
+        (hlo / 'module_0001.jit_train_step.after_optimizations.txt').write_text(
+            '%fused_computation.7 (p0: f32[8]) -> f32[8] {\n'
+            '  %mul.1 = f32[8] multiply(...), metadata={op_name="jit(train_step)/RegTR/cross_encoder/mul"}\n'
+            '}\n'
+            '%dot.5 = f32[8,8] dot(...), metadata={op_name="jit(train_step)/RegTR/pyramid/knn_l0/dot"}\n')
+        trace = {'traceEvents': [
+            {'ph': 'X', 'dur': 1000.0, 'name': 'fusion.7',
+             'args': {'hlo_op': 'fusion.7'}},
+            {'ph': 'X', 'dur': 2000.0, 'name': 'dot.5',
+             'args': {'hlo_op': 'dot.5'}},
+            {'ph': 'X', 'dur': 500.0, 'name': 'fusion.7.clone',
+             'args': {'hlo_op': 'fusion.7.clone'}},
+            {'ph': 'X', 'dur': 99.0, 'name': 'unrelated',
+             'args': {'hlo_op': 'unknown.1'}},
+        ]}
+        tr = tmp_path / 'x.trace.json.gz'
+        with gzip.open(tr, 'wt') as f:
+            json.dump(trace, f)
+        out = summarize(str(tr), hlo_dir=str(hlo))
+        assert '| knn_l0 | 2.00 |' in out
+        assert '| cross_encoder | 1.50 |' in out
+        assert 'unknown' not in out
