@@ -16,10 +16,22 @@ def register_model(name: str):
     return deco
 
 
+# Reference model names -> ours, so unmodified reference YAMLs
+# (model: qk_regtr_full.RegTR, src/conf/*.yaml) resolve directly. The
+# qk_ce (cross-only) family maps to the same class: its difference is the
+# `transformer_cross_only` config flag (models/transformer.py).
+_ALIASES = {
+    'qk_regtr_full.RegTR': 'regtr.RegTR',
+    'qk_regtr.RegTR': 'regtr.RegTR',
+    'qk_ce.RegTR': 'regtr.RegTR',
+}
+
+
 def get_model(name: str):
     """Look up a model class by registry name (e.g. 'regtr.RegTR')."""
     # Import model modules lazily so the registry is populated.
     from . import regtr  # noqa: F401
+    name = _ALIASES.get(name, name)
     if name not in _REGISTRY:
         raise ValueError(f"unknown model '{name}'; available: {sorted(_REGISTRY)}")
     return _REGISTRY[name]

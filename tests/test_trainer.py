@@ -91,3 +91,75 @@ class TestLoader:
         loader = get_dataloader(cfg, 'train')
         batch = next(iter(loader))
         assert batch['src_points'].shape == (2, 128, 3)
+
+
+class TestReferenceConfigCompat:
+    def test_reference_yaml_keys_and_model_name_resolve(self, tmp_path):
+        """A reference-style YAML (same sections/keys/model name as
+        src/conf/qk_regtr_full_3dmatch.yaml) must load and build with only
+        the TPU budget keys added."""
+        yaml_text = '''
+general:
+    expt_name: qk_regtr_full_3dmatch
+dataset:
+    dataset: 3dmatch
+    root: data/indoor
+    train_batch_size: 2
+    overlap_radius: 0.0375
+solver:
+    optimizer: AdamW
+    base_lr: 0.0001
+kpconv_options:
+    num_layers: 3
+    neighborhood_limits: [10, 10, 10]
+    aggregation_mode: sum
+    first_subsampling_dl: 0.06
+    first_feats_dim: 32
+    fixed_kernel_points: center
+    in_feats_dim: 1
+    in_points_dim: 3
+    conv_radius: 2.5
+    KP_extent: 2.0
+    KP_influence: linear
+    use_batch_norm: True
+    num_kernel_points: 15
+    architecture: [simple, resnetb, resnetb_strided, resnetb]
+model:
+    model: qk_regtr_full.RegTR
+    use_sinkhorn: True
+    sinkhorn_itr: 3
+    slack: True
+    nhead: 4
+    d_embed: 64
+    d_feedforward: 128
+    dropout: 0.0
+    pre_norm: True
+    transformer_act: relu
+    num_encoder_layers: 1
+    transformer_encoder_has_pos_emb: True
+    sa_val_has_pos_emb: True
+    ca_val_has_pos_emb: True
+    pos_emb_type: sine
+losses:
+    wt_overlap: 1.0
+    wt_feature: 0.1
+    r_p: 0.2
+    r_n: 0.4
+    feature_loss_on: [0]
+    feature_loss_type: infonce
+'''
+        from test_model import make_batch
+        import jax.numpy as jnp
+        p = tmp_path / 'ref.yaml'
+        p.write_text(yaml_text)
+        from superpoints_registration_tpu.config import load_config
+        cfg = load_config(p)
+        assert cfg.model == 'qk_regtr_full.RegTR'
+        cfg.level_budgets = [128, 64]
+        model = build_model(cfg.model, cfg)
+        batch = {k: jnp.asarray(v) for k, v in
+                 make_batch(n_pairs=2, n_points=100, budget=128).items()}
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+        out = jax.jit(lambda p, b: model.apply(p, b, compute_loss=False))(
+            params, batch)
+        assert out['pose'].shape == (2, 3, 4)
