@@ -113,7 +113,11 @@ def benchmark(est_folder: str, gt_folder: str, err_thresh: float = 0.2,
         res = evaluate_scene(est_pairs, est_traj, gt_pairs, gt_traj, gt_info,
                              n_frag, err_thresh)
         results[scene] = res
-        short = (SCENE_SHORT_NAMES[idx] if idx < len(SCENE_SHORT_NAMES)
+        # Short display names apply only to the real 3DMatch scene dirs
+        # (benchmark_predator.py:289-300); any other corpus keeps its own
+        # scene names in the report.
+        short = (SCENE_SHORT_NAMES[idx]
+                 if len(scenes) == 8 and idx < len(SCENE_SHORT_NAMES)
                  else scene)
         lines.append(f"{short} | {res.precision:.3f} | {res.recall:.3f} | "
                      f"{res.rre_median:.3f} | {res.rte_median:.3f} | {res.n_valid}")
