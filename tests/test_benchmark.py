@@ -72,6 +72,14 @@ class TestPredatorBenchmark:
         assert recall == pytest.approx(1.0)
         assert results['scene0'].precision == pytest.approx(1.0)
 
+    def test_report_uses_real_scene_names_for_small_corpora(self, tmp_path, rng):
+        # The Kitchen/Home/... short names apply only to the 8-scene real
+        # 3DMatch benchmark; other corpora keep their directory names.
+        est, gt, _ = make_scene(tmp_path, rng)
+        report, _, _ = predator.benchmark(str(est), str(gt))
+        assert 'scene0' in report
+        assert 'Kitchen' not in report
+
     def test_failures_reduce_recall(self, tmp_path, rng):
         # Perturb two non-consecutive pairs.
         est, gt, pairs = make_scene(tmp_path, rng,
