@@ -122,4 +122,6 @@ def run_test(cfg, model, params, loader, run_dir, logger,
                     results['success_rate'], results['rre_success'],
                     results['rte_success'])
 
+    logger.info('test summary: %s',
+                ' '.join(f'{k}={v:.4f}' for k, v in sorted(results.items())))
     return results
