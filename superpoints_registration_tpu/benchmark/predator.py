@@ -19,6 +19,21 @@ from .trajectory import (read_trajectory, read_trajectory_info,
 SCENE_SHORT_NAMES = ['Kitchen', 'Home 1', 'Home 2', 'Hotel 1', 'Hotel 2',
                      'Hotel 3', 'Study', 'MIT Lab']
 
+# The real 3DMatch test-scene directory names, in the order the short
+# display names above apply (benchmark_predator.py:289-300). The short names
+# are used only when the evaluated scene list IS this list — a custom
+# 8-scene corpus keeps its own names.
+_3DMATCH_TEST_SCENES = [
+    '7-scenes-redkitchen',
+    'sun3d-home_at-home_at_scan1_2013_jan_1',
+    'sun3d-home_md-home_md_scan9_2012_sep_30',
+    'sun3d-hotel_uc-scan3',
+    'sun3d-hotel_umd-maryland_hotel1',
+    'sun3d-hotel_umd-maryland_hotel3',
+    'sun3d-mit_76_studyroom-76-1studyroom2',
+    'sun3d-mit_lab_hj-lab_hj_tea_nov_2_2012_scan1_erika',
+]
+
 
 def transformation_error(delta: np.ndarray, info: np.ndarray) -> float:
     """Covariance-weighted squared error of a relative transform.
@@ -114,10 +129,10 @@ def benchmark(est_folder: str, gt_folder: str, err_thresh: float = 0.2,
                              n_frag, err_thresh)
         results[scene] = res
         # Short display names apply only to the real 3DMatch scene dirs
-        # (benchmark_predator.py:289-300); any other corpus keeps its own
-        # scene names in the report.
+        # (benchmark_predator.py:289-300); any other corpus — even an
+        # 8-scene one — keeps its own scene names in the report.
         short = (SCENE_SHORT_NAMES[idx]
-                 if len(scenes) == 8 and idx < len(SCENE_SHORT_NAMES)
+                 if scenes == _3DMATCH_TEST_SCENES
                  else scene)
         lines.append(f"{short} | {res.precision:.3f} | {res.recall:.3f} | "
                      f"{res.rre_median:.3f} | {res.rte_median:.3f} | {res.n_valid}")

@@ -33,6 +33,30 @@ class DataLoader:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
+    def check_budget(self):
+        """Verify every sample fits the level-0 budget; raise listing the
+        offenders. Called up-front by eval flows that would otherwise only
+        discover an over-budget cloud mid-loop (after wasting the run on the
+        batches already evaluated). Uses the dataset's cheap `sample_sizes()`
+        when available, else loads each sample once.
+        """
+        sizes = getattr(self.dataset, 'sample_sizes', None)
+        if sizes is not None:
+            per_sample = sizes()
+        else:
+            per_sample = (max(len(self.dataset[i]['src_xyz']),
+                              len(self.dataset[i]['tgt_xyz']))
+                          for i in range(len(self.dataset)))
+        bad = [(i, n) for i, n in enumerate(per_sample) if n > self.budget]
+        if bad:
+            head = ', '.join(f'#{i}: {n} pts' for i, n in bad[:5])
+            raise ValueError(
+                f'{len(bad)} test sample(s) exceed the level-0 budget '
+                f'{self.budget} ({head}{", ..." if len(bad) > 5 else ""}): '
+                f'the collate would subsample what the model sees, so '
+                f'host-side metric recomputation would use different points. '
+                f'Raise level_budgets[0] (and recalibrate).')
+
     def __len__(self):
         n = len(self.dataset) // self.num_shards
         if self.drop_last:

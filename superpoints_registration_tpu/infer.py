@@ -17,6 +17,8 @@ compiled program reuse the same executable.
 """
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 from .config import Config
@@ -54,6 +56,17 @@ class Registrar:
     def _collate(self, pairs):
         samples = []
         for src, tgt in pairs:
+            # collate_pairs silently random-subsamples clouds over the
+            # level-0 budget; serving callers must know points were dropped
+            # (evaluate.py refuses this case outright for metrics).
+            for name, pts in (('src', src), ('tgt', tgt)):
+                if len(pts) > self.budget:
+                    warnings.warn(
+                        f'{name} cloud has {len(pts)} points > level-0 budget '
+                        f'{self.budget}; a random subsample of {self.budget} '
+                        'points will be registered. Raise level_budgets[0] '
+                        '(and recalibrate) to use the full cloud.',
+                        stacklevel=3)
             samples.append({
                 'src_xyz': np.asarray(src, np.float32),
                 'tgt_xyz': np.asarray(tgt, np.float32),

@@ -40,4 +40,17 @@ def get_model(name: str):
 def build_model(name: str, cfg):
     """Instantiate a model with the config coerced to a StaticConfig."""
     from ..config import as_static
-    return get_model(name)(cfg=as_static(cfg))
+    cls = get_model(name)
+    cfg = dict(cfg)
+    if name == 'qk_ce.RegTR':
+        # The qk_ce family IS the cross-only architecture (the reference's
+        # transformer_only_ce.py); resolving the alias without forcing the
+        # flag would silently build a self+cross encoder with incompatible
+        # weights.
+        if cfg.get('transformer_cross_only') is False:
+            raise ValueError(
+                "model 'qk_ce.RegTR' requires transformer_cross_only=True "
+                "(it is the cross-attention-only architecture); remove the "
+                "explicit False or use 'qk_regtr_full.RegTR'")
+        cfg['transformer_cross_only'] = True
+    return cls(cfg=as_static(cfg))

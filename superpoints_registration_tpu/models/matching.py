@@ -49,6 +49,7 @@ class MatchingConfig:
     def from_config(cfg) -> "MatchingConfig":
         g = lambda k, d: cfg.get(k, d) if hasattr(cfg, 'get') else getattr(cfg, k, d)
         return MatchingConfig(
+            dual_normalization=bool(g('dual_normalization', True)),
             use_ratio_test=bool(g('use_ratio_test', False)),
             lowe_thres=float(g('lowe_thres', 0.9)),
             threshold_corr=bool(g('threshold_corr', False)),
@@ -63,6 +64,8 @@ class MatchingConfig:
             num_refinement_steps=int(g('num_refinement_steps', 4)),
             acceptance_radius=float(g('acceptance_radius', 0.1)),
             use_ransac=bool(g('use_ransac', False)),
+            ransac_iters=int(g('ransac_iters', 500)),
+            ransac_sample=int(g('ransac_sample', 100)),
         )
 
 

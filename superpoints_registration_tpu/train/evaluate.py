@@ -29,6 +29,13 @@ def run_test(cfg, model, params, loader, run_dir, logger,
     dataset = loader.dataset
     ds_name = cfg.get('dataset')
 
+    if ds_name in ('modelnet', 'synthetic') and hasattr(loader, 'check_budget'):
+        # These benchmarks recompute metrics host-side from dataset[i]; an
+        # over-budget cloud would make that recomputation silently disagree
+        # with what the model saw. Fail BEFORE the eval loop, not after N-1
+        # evaluated batches.
+        loader.check_budget()
+
     all_poses, all_gt, all_rot_err, all_trans_err = [], [], [], []
     sample_idx = 0
     per_sample_indices = []
@@ -83,22 +90,11 @@ def run_test(cfg, model, params, loader, run_dir, logger,
 
     elif ds_name in ('modelnet', 'synthetic'):
         # RPMNet metric suite; Chamfer needs the raw clouds from the dataset.
-        # Re-reading dataset[i] on the host is only valid if the collate never
-        # subsampled (transforms are deterministic-by-index): when a cloud
-        # exceeds the budget the model saw a random subset, and metrics on the
-        # full cloud would silently disagree. Refuse instead of mis-reporting.
-        budget = getattr(loader, 'budget', None)
+        # Re-reading dataset[i] on the host is only valid because the collate
+        # never subsampled — guaranteed by the up-front check_budget() above.
         metric_list = []
         for i, (pose, gt) in enumerate(zip(poses, gts)):
             sample = dataset[per_sample_indices[i]]
-            if budget is not None:
-                n_max = max(len(sample['src_xyz']), len(sample['tgt_xyz']))
-                if n_max > budget:
-                    raise ValueError(
-                        f'test sample {per_sample_indices[i]} has {n_max} points '
-                        f'> budget {budget}: the collate subsampled what the '
-                        f'model saw, so host-side metric recomputation would '
-                        f'use different points. Raise level_budgets[0].')
             raw = sample.get('points_raw', sample['tgt_xyz'])
             m = bm_modelnet.compute_metrics(
                 sample['src_xyz'][None], sample['tgt_xyz'][None], raw[None],

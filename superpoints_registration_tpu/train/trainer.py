@@ -93,52 +93,52 @@ class Trainer:
                                  save=False, state=state)
 
         stats = StatsMeter()
-        loss_smooth = None
+        self._loss_smooth = None
         epoch = 0
         t_start = time.perf_counter()
         done = False
         # Device-side loss dicts pending host transfer. Fetching every step
         # (float(losses['total'])) blocks on the device each iteration and
         # defeats async dispatch; instead losses stay on-device and are
-        # fetched in one batch at summary boundaries.
+        # fetched in one batch at fetch boundaries. The fetch window is
+        # capped below summary_every so a NaN burst is reported within ~50
+        # steps rather than up to summary_every later.
         pending: list = []
+        fetch_every = max(1, min(self.summary_every, 50))
+        steps_done = 0  # steps THIS run — profile window survives resume
+        profiling = False
         while not done:
             train_loader.set_epoch(epoch)
             self.logger.info('epoch %d (steps %d - %d)', epoch, global_step,
                              global_step + len(train_loader))
             for batch in train_loader:
                 global_step += 1
-                # Profile window: steps 2-4 (step 1 pays compilation).
-                if self.profile and global_step == 2:
+                steps_done += 1
+                # Profile window: 2nd-4th step of this run (the 1st pays
+                # compilation; keyed on steps_done, not global_step, so a
+                # resumed run still captures a trace).
+                if self.profile and steps_done == 2:
                     jax.profiler.start_trace(str(self.run_dir / 'profile'))
+                    profiling = True
                 sharded = shard_batch(batch, mesh)
                 state, losses = train_step(state, sharded)
                 pending.append((global_step, losses))
-                if self.profile and global_step == 4:
+                if profiling and steps_done == 4:
                     jax.block_until_ready(losses)
                     jax.profiler.stop_trace()
+                    profiling = False
                     self.logger.info('profiler trace written to %s',
                                      self.run_dir / 'profile')
 
+                if global_step % fetch_every == 0:
+                    self._fetch_pending(pending, stats)
                 if global_step % self.summary_every == 0:
-                    fetched = jax.device_get([l for _, l in pending])
-                    for (step_i, _), vals in zip(pending, fetched):
-                        total = float(vals['total'])
-                        stats.update_dict({k: float(v) for k, v in vals.items()})
-                        if loss_smooth is None:
-                            loss_smooth = total
-                        elif np.isfinite(total):
-                            loss_smooth = 0.99 * loss_smooth + 0.01 * total
-                        else:
-                            self.logger.warning(
-                                'non-finite loss at step %d (update skipped '
-                                'on-device)', step_i)
-                    pending.clear()
+                    self._fetch_pending(pending, stats)
                     self.train_writer.scalars('loss', stats.averages(), global_step)
                     rate = global_step / (time.perf_counter() - t_start)
                     self.logger.info('step %d/%d loss %.4f (%.2f it/s)',
-                                     global_step, total_iter, loss_smooth,
-                                     rate)
+                                     global_step, total_iter,
+                                     self._loss_smooth, rate)
                     stats.clear()
 
                 if (val_loader is not None and validate_every > 0
@@ -150,7 +150,14 @@ class Trainer:
                     done = True
                     break
             epoch += 1
-        pending.clear()
+        # Flush the tail through the same fetch path so an end-of-run NaN
+        # burst is still reported, then close a profiler window left open by
+        # a run shorter than 4 steps.
+        self._fetch_pending(pending, stats)
+        if profiling:
+            jax.profiler.stop_trace()
+            self.logger.info('profiler trace written to %s',
+                             self.run_dir / 'profile')
 
         if val_loader is not None:
             self._run_validation(eval_step, state.params, val_loader, mesh,
@@ -158,6 +165,25 @@ class Trainer:
         self.saver.wait()
         self.logger.info('training done at step %d', global_step)
         return state
+
+    def _fetch_pending(self, pending: list, stats: StatsMeter):
+        """Fetch queued device-side loss dicts, accumulate meters + EMA, and
+        warn on non-finite losses (update already skipped on-device)."""
+        if not pending:
+            return
+        fetched = jax.device_get([l for _, l in pending])
+        for (step_i, _), vals in zip(pending, fetched):
+            total = float(vals['total'])
+            stats.update_dict({k: float(v) for k, v in vals.items()})
+            if self._loss_smooth is None:
+                self._loss_smooth = total
+            elif np.isfinite(total):
+                self._loss_smooth = 0.99 * self._loss_smooth + 0.01 * total
+            else:
+                self.logger.warning(
+                    'non-finite loss at step %d (update skipped on-device)',
+                    step_i)
+        pending.clear()
 
     def _run_validation(self, eval_step, params, val_loader, mesh, step,
                         limit_steps: int | None = None, save: bool = True,

@@ -315,3 +315,70 @@ class TestDeformableKPConv:
         g = jax.jit(jax.grad(loss))(params)
         assert all(np.all(np.isfinite(np.asarray(l)))
                    for l in jax.tree_util.tree_leaves(g))
+
+
+class TestMatchingConfigWiring:
+    """Every YAML-facing matching switch must actually reach MatchingConfig
+    (round-2 verdict: dual_normalization / ransac_iters / ransac_sample were
+    config-dead)."""
+
+    def test_from_config_reads_all_switches(self):
+        from superpoints_registration_tpu.config import Config
+        from superpoints_registration_tpu.models.matching import MatchingConfig
+        mc = MatchingConfig.from_config(Config({
+            'dual_normalization': False, 'use_ransac': True,
+            'ransac_iters': 7, 'ransac_sample': 5}))
+        assert mc.dual_normalization is False
+        assert mc.ransac_iters == 7 and mc.ransac_sample == 5
+
+    def test_dual_normalization_off_changes_attn(self, rng):
+        from superpoints_registration_tpu.models.matching import (
+            MatchingConfig, softmax_correlation)
+        b, s, d = 1, 16, 8
+        f1 = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+        f2 = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+        xyz = jnp.asarray(rng.normal(size=(b, s, 3)).astype(np.float32))
+        m = jnp.ones((b, s), bool)
+        ov = jnp.ones((b, s), jnp.float32)
+        out_dual = softmax_correlation(f1, f2, xyz, xyz, m, m, ov, ov,
+                                       MatchingConfig(dual_normalization=True))
+        out_single = softmax_correlation(f1, f2, xyz, xyz, m, m, ov, ov,
+                                         MatchingConfig(dual_normalization=False))
+        # dual: product of two softmaxes (rows don't sum to 1);
+        # single: a plain softmax over the last axis (rows sum to 1).
+        rows = np.asarray(jnp.sum(out_single['attn'], axis=-1))
+        np.testing.assert_allclose(rows, 1.0, atol=1e-5)
+        assert not np.allclose(np.asarray(jnp.sum(out_dual['attn'], axis=-1)), 1.0)
+
+    def test_ransac_iters_sample_reach_solver(self, rng):
+        from superpoints_registration_tpu.models.matching import (
+            MatchingConfig, softmax_correlation)
+        b, s, d = 1, 24, 8
+        f = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+        xyz = jnp.asarray(rng.normal(size=(b, s, 3)).astype(np.float32))
+        m = jnp.ones((b, s), bool)
+        ov = jnp.ones((b, s), jnp.float32)
+        mc = MatchingConfig(use_ransac=True, ransac_iters=3, ransac_sample=4)
+        out = softmax_correlation(f, f, xyz, xyz, m, m, ov, ov, mc,
+                                  ransac_key=jax.random.PRNGKey(0))
+        assert np.all(np.isfinite(np.asarray(out['pose'])))
+
+
+class TestQkCeAlias:
+    def test_alias_forces_cross_only(self):
+        from superpoints_registration_tpu.models import build_model
+        cfg = tiny_config()
+        model = build_model('qk_ce.RegTR', cfg)
+        assert model.cfg.get('transformer_cross_only') is True
+
+    def test_alias_rejects_explicit_false(self):
+        from superpoints_registration_tpu.models import build_model
+        cfg = tiny_config(transformer_cross_only=False)
+        with pytest.raises(ValueError, match='cross'):
+            build_model('qk_ce.RegTR', cfg)
+
+    def test_full_alias_untouched(self):
+        from superpoints_registration_tpu.models import build_model
+        cfg = tiny_config()
+        model = build_model('qk_regtr_full.RegTR', cfg)
+        assert model.cfg.get('transformer_cross_only', False) is False

@@ -235,3 +235,80 @@ class TestNeighborKnobs:
             for j in sa ^ sb:   # disagreements must be boundary cases
                 d = np.linalg.norm(p[i] - p[j])
                 assert abs(d - 0.5) < 0.01, (i, j, d)
+
+
+class TestBlockedKnn:
+    """The blocked (cell-list style) search must equal brute force exactly
+    whenever rmax covers the relevant support blocks."""
+
+    def _coherent_cloud(self, rng, n, extent=2.0, cell=0.1):
+        pts = rng.uniform(0, extent, (n, 3)).astype(np.float32)
+        order = np.lexsort((pts[:, 2] // cell, pts[:, 1] // cell,
+                            pts[:, 0] // cell))
+        return pts[order]
+
+    def test_matches_brute_exact(self, rng):
+        from superpoints_registration_tpu.ops.neighbors import (
+            radius_knn, radius_knn_blocked)
+        pts = self._coherent_cloud(rng, 1000)
+        m = np.ones(1000, bool)
+        m[950:] = False  # invalid rows (sorted last, as in the pyramid)
+        r, k = 0.25, 16
+        a = np.asarray(radius_knn(jnp.asarray(pts), jnp.asarray(m),
+                                  jnp.asarray(pts), jnp.asarray(m), r, k,
+                                  exact=True))
+        b, nrel = radius_knn_blocked(jnp.asarray(pts), jnp.asarray(m),
+                                     jnp.asarray(pts), jnp.asarray(m), r, k,
+                                     qblock=64, sblock=32, rmax=48)
+        b = np.asarray(b)
+        assert int(nrel) <= 48  # telemetry: no overflow at this rmax
+        for i in range(1000):
+            assert set(a[i][a[i] < 1000]) == set(b[i][b[i] < 1000])
+
+    def test_unsorted_input_still_exact_with_full_rmax(self, rng):
+        from superpoints_registration_tpu.ops.neighbors import (
+            radius_knn, radius_knn_blocked)
+        pts = rng.uniform(0, 2, (777, 3)).astype(np.float32)  # NOT sorted
+        m = np.ones(777, bool)
+        r, k = 0.25, 8
+        nsb = -(-777 // 32)
+        a = np.asarray(radius_knn(jnp.asarray(pts), jnp.asarray(m),
+                                  jnp.asarray(pts), jnp.asarray(m), r, k,
+                                  exact=True))
+        b, _ = radius_knn_blocked(jnp.asarray(pts), jnp.asarray(m),
+                                  jnp.asarray(pts), jnp.asarray(m), r, k,
+                                  qblock=64, sblock=32, rmax=nsb)
+        b = np.asarray(b)
+        for i in range(777):
+            assert set(a[i][a[i] < 777]) == set(b[i][b[i] < 777])
+
+    def test_overflow_telemetry_and_nearest_block_degradation(self, rng):
+        from superpoints_registration_tpu.ops.neighbors import radius_knn_blocked
+        # A radius spanning the whole cloud makes every block relevant.
+        pts = self._coherent_cloud(rng, 256, extent=0.3)
+        m = np.ones(256, bool)
+        idx, nrel = radius_knn_blocked(jnp.asarray(pts), jnp.asarray(m),
+                                       jnp.asarray(pts), jnp.asarray(m),
+                                       10.0, 8, qblock=64, sblock=32, rmax=2)
+        assert int(nrel) == 8  # all 8 support blocks relevant -> overflow
+        idx = np.asarray(idx)
+        # Degraded result still returns valid in-radius neighbors.
+        assert np.all(idx[np.ones(256, bool)] <= 256)
+        assert np.all(idx[:, 0] < 256)
+
+    def test_queries_differ_from_supports(self, rng):
+        from superpoints_registration_tpu.ops.neighbors import (
+            radius_knn, radius_knn_blocked)
+        sup = self._coherent_cloud(rng, 512)
+        qry = self._coherent_cloud(rng, 192)
+        ms, mq = np.ones(512, bool), np.ones(192, bool)
+        r, k = 0.3, 12
+        a = np.asarray(radius_knn(jnp.asarray(qry), jnp.asarray(mq),
+                                  jnp.asarray(sup), jnp.asarray(ms), r, k,
+                                  exact=True))
+        b, _ = radius_knn_blocked(jnp.asarray(qry), jnp.asarray(mq),
+                                  jnp.asarray(sup), jnp.asarray(ms), r, k,
+                                  qblock=64, sblock=32, rmax=16)
+        b = np.asarray(b)
+        for i in range(192):
+            assert set(a[i][a[i] < 512]) == set(b[i][b[i] < 512])
