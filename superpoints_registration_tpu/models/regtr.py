@@ -167,6 +167,11 @@ class RegTR(nn.Module):
             'pyramid_overflow': jnp.stack(
                 [jnp.max(meta['n_voxels'][l] - self.spec.budgets[l])
                  for l in range(self.spec.num_levels)]),
+            # Blocked-search telemetry: >0 means some query block had more
+            # AABB-relevant support blocks than rmax (the farthest were
+            # dropped) - raise neighbor_rmax[_pool] if it persists.
+            'rel_overflow': (jnp.max(jnp.stack(meta['rel_overflow']))
+                             if meta.get('rel_overflow') else jnp.int32(0)),
         }
 
         if compute_loss:

@@ -61,25 +61,35 @@ def radius_knn(queries: jnp.ndarray, q_mask: jnp.ndarray,
     s = jnp.where(s_mask[:, None], supports - center, 0.0).astype(jnp.float32)
 
     s_sq = jnp.sum(s * s, axis=-1)
-    s_sq = jnp.where(s_mask, s_sq, jnp.inf)  # invalid supports never match
+    # Invalid supports get a huge (finite) distance: a finite sentinel
+    # avoids 0*inf NaN hazards inside the HIGH-precision decomposition.
+    s_sq = jnp.where(s_mask, s_sq, jnp.float32(4e9))
     r_sq = jnp.asarray(radius, jnp.float32) ** 2
+    # Augmented-matmul distance: [-2q | |q|^2 | 1] @ [s | 1 | |s|^2]^T ==
+    # |q-s|^2 straight out of ONE matmul — the expansion's cancellation
+    # happens inside the f32 accumulator, the f32 sum/add epilogue of the
+    # 3-term form never materializes, and the bf16 cast fuses into the
+    # matmul output (measured 41 -> 35 ms at L0 scale on v5e).
+    # HIGH (bf16_3x) instead of HIGHEST: the dropped lo*lo term is
+    # ~(4e-3 m)^2 = 2e-5 m^2, two orders below r^2 at the finest level,
+    # while HIGHEST's extra passes cost ~1.5x of the whole search.
+    s_aug = jnp.concatenate(
+        [s, jnp.ones((ns, 1), jnp.float32), s_sq[:, None]], axis=-1)
 
     def process(q_chunk, qm_chunk):
-        # HIGH (bf16_3x) instead of HIGHEST: the dropped lo*lo term is
-        # ~(4e-3 m)^2 = 2e-5 m^2, two orders below r^2 at the finest level,
-        # while HIGHEST's extra passes cost ~1.5x of the whole search
-        # (measured 66 -> 43 ms at L0 scale on v5e).
-        dots = jnp.matmul(q_chunk, s.T, precision=jax.lax.Precision.HIGH)
-        sqd = jnp.sum(q_chunk * q_chunk, axis=-1)[:, None] - 2.0 * dots + s_sq[None, :]
+        qq = jnp.sum(q_chunk * q_chunk, axis=-1)
+        q_aug = jnp.concatenate(
+            [-2.0 * q_chunk, qq[:, None],
+             jnp.ones((q_chunk.shape[0], 1), jnp.float32)], axis=-1)
+        sqd = jnp.matmul(q_aug, s_aug.T, precision=jax.lax.Precision.HIGH)
         if exact:
             neg_vals, idx = jax.lax.top_k(-sqd, k)
         else:
             # The (chunk, Ns) distance matrix is pure HBM traffic; storing it
-            # as bf16 halves it. Crucially the |q-s|^2 expansion's
-            # CANCELLATION still happens in f32 (dot epilogue), so the bf16
-            # rounding is ~0.4% RELATIVE to the small result — selection and
-            # the radius test are boundary-accurate to ~0.2% of r, far below
-            # the 0.95 recall_target's own miss rate.
+            # as bf16 halves it. The bf16 rounding is RELATIVE to the small
+            # |q-s|^2 result (cancellation already happened in f32), so
+            # selection and the radius test stay boundary-accurate to ~0.2%
+            # of r, far below the 0.95 recall_target's own miss rate.
             neg_vals, idx = jax.lax.approx_max_k(
                 -sqd.astype(jnp.bfloat16), k, recall_target=recall)
             neg_vals = neg_vals.astype(jnp.float32)
@@ -247,11 +257,9 @@ def radius_knn_blocked(queries: jnp.ndarray, q_mask: jnp.ndarray,
         cand = cand.reshape(g, rmax_eff, sblock, 3)
         cand = jnp.where(rok[..., None, None], cand, 1e6)  # dead slot -> far
         cand = cand.reshape(g, rmax_eff * sblock, 3)
-        cand_idx = (ridx[..., None] * sblock
-                    + jnp.arange(sblock, dtype=jnp.int32)[None, None, :]
-                    ).reshape(g, rmax_eff * sblock)
         # HIGH (bf16_3x) precision: see radius_knn — f32-grade for |q-s|^2
-        # at these scales, ~1.5x faster than HIGHEST.
+        # at these scales. (A direct elementwise |q-c|^2 was measured ~2x
+        # SLOWER here: the (g, Q, C, 3) intermediate materializes.)
         dots = jnp.einsum('gic,gjc->gij', qb, cand,
                           precision=jax.lax.Precision.HIGH)
         qq = jnp.sum(qb * qb, axis=-1)
@@ -263,7 +271,16 @@ def radius_knn_blocked(queries: jnp.ndarray, q_mask: jnp.ndarray,
             neg_vals, topi = jax.lax.approx_max_k(
                 -sqd.astype(jnp.bfloat16), k, recall_target=recall)
             neg_vals = neg_vals.astype(jnp.float32)
-        idx = jax.vmap(lambda ci, ti: ci[ti])(cand_idx, topi)
+        # Map candidate-axis positions to global support indices WITHOUT a
+        # gather (a vmapped fancy-index here measured 94 ms at L0 scale —
+        # 4x the rest of the search combined): candidate j sits at offset
+        # j % sblock of relevant block j // sblock, and the block-id lookup
+        # is a tiny one-hot contraction over rmax, fully VPU-vectorized.
+        blk_pos = topi // sblock                           # (g, Q, k)
+        onehot = (blk_pos[..., None] ==
+                  jnp.arange(rmax_eff, dtype=jnp.int32))   # (g, Q, k, R)
+        sel_blk = jnp.sum(onehot * ridx[:, None, None, :], axis=-1)
+        idx = sel_blk * sblock + topi % sblock
         ok = (-neg_vals <= r_sq) & qm[..., None]
         # Padded-support indices (from spad) point past ns; shadow them too.
         ok &= idx < ns

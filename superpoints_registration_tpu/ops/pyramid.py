@@ -28,7 +28,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-from .neighbors import radius_knn_batch
+from .neighbors import radius_knn_batch, radius_knn_blocked_batch
 from .subsample import voxel_subsample_batch
 
 
@@ -48,6 +48,15 @@ class PyramidSpec:
     budgets: tuple                # len L; static N_l point budgets
     exact: bool = False           # exact top_k instead of approx_max_k
     recall: float = 0.95          # approx_max_k recall target
+    # Blocked (cell-list style) search (ops/neighbors.py radius_knn_blocked):
+    # only computes distances against AABB-relevant Morton blocks instead of
+    # the full support set. `rmax` bounds relevant blocks per query block,
+    # calibrated like neighborhood_limits (overflow telemetry in the meta).
+    search: str = 'brute'         # 'brute' | 'blocked'
+    rmax: tuple = ()              # per-level rmax (conv); () -> default 32
+    rmax_pool: tuple = ()         # per-level rmax for pools; () -> conv+8
+    min_blocked_n: int = 8192     # below this support size brute is faster
+                                  # (measured: no win at N=4864, v5e)
 
     @staticmethod
     def from_config(cfg, budgets: Sequence[int] | None = None) -> "PyramidSpec":
@@ -94,7 +103,11 @@ class PyramidSpec:
         g = cfg.get if hasattr(cfg, 'get') else lambda k, d: getattr(cfg, k, d)
         return PyramidSpec(num_levels, voxel_sizes, radii, limits, budgets,
                            exact=bool(g('neighbor_exact', False)),
-                           recall=float(g('neighbor_recall', 0.95)))
+                           recall=float(g('neighbor_recall', 0.95)),
+                           search=str(g('neighbor_search', 'brute')),
+                           rmax=tuple(g('neighbor_rmax', ()) or ()),
+                           rmax_pool=tuple(g('neighbor_rmax_pool', ()) or ()),
+                           min_blocked_n=int(g('neighbor_min_blocked_n', 8192)))
 
 
 @partial(jax.jit, static_argnames=("spec", "need_upsamples", "chunk"))
@@ -152,16 +165,31 @@ def build_pyramid(points: jnp.ndarray, mask: jnp.ndarray, spec: PyramidSpec,
         'lengths': [jnp.sum(mask.astype(jnp.int32), axis=1)],
         'neighbors': [], 'pools': [], 'upsamples': [],
         'n_voxels': [jnp.sum(mask.astype(jnp.int32), axis=1)],
+        'rel_overflow': [],   # blocked search: max(n_rel - rmax, 0) per call
         'perm0': perm0,
     }
+
+    def search(q, qm, s, sm, radius, limit, rmax_default, l, pool):
+        """Dispatch brute vs blocked; blocked only pays off at scale."""
+        if spec.search == 'blocked' and s.shape[1] >= spec.min_blocked_n:
+            rmaxes = spec.rmax_pool if pool else spec.rmax
+            rmax = int(rmaxes[l]) if l < len(rmaxes) else rmax_default
+            idx, n_rel = radius_knn_blocked_batch(
+                q, qm, s, sm, radius, limit, rmax=rmax,
+                exact=spec.exact, recall=spec.recall)
+            meta['rel_overflow'].append(
+                jnp.maximum(jnp.max(n_rel) - rmax, 0))
+            return idx
+        return radius_knn_batch(q, qm, s, sm, radius, limit, chunk,
+                                spec.exact, spec.recall)
 
     for l in range(L):
         pts_l, mask_l = meta['points'][l], meta['masks'][l]
         # Conv neighbors within the level.
         with jax.named_scope(f'knn_l{l}'):
-            meta['neighbors'].append(radius_knn_batch(
+            meta['neighbors'].append(search(
                 pts_l, mask_l, pts_l, mask_l, spec.radii[l],
-                spec.neighbor_limits[l], chunk, spec.exact, spec.recall))
+                spec.neighbor_limits[l], 40, l, pool=False))
 
         if l + 1 < L:
             # dl = 2 * r_normal / conv_radius == voxel_sizes[l+1]  (kpconv.py:498)
@@ -171,9 +199,9 @@ def build_pyramid(points: jnp.ndarray, mask: jnp.ndarray, spec: PyramidSpec,
             # Pool: neighbors of the subsampled points among level-l points,
             # searched at the *current* level radius (kpconv.py:511).
             with jax.named_scope(f'pools_l{l}'):
-                pools = radius_knn_batch(sub_pts, sub_mask, pts_l, mask_l,
-                                         spec.radii[l], spec.neighbor_limits[l],
-                                         chunk, spec.exact, spec.recall)
+                pools = search(sub_pts, sub_mask, pts_l, mask_l,
+                               spec.radii[l], spec.neighbor_limits[l],
+                               56, l, pool=True)
             meta['pools'].append(pools)
             if need_upsamples:
                 # Upsample: level-l queries over level-(l+1) supports at 2r

@@ -89,6 +89,8 @@ def make_eval_step(model, cfg, mesh=None):
             'pyramid_overflow': jnp.broadcast_to(
                 out['pyramid_overflow'], (out['pose'].shape[0],)
                 + out['pyramid_overflow'].shape),
+            'rel_overflow': jnp.broadcast_to(
+                out['rel_overflow'], (out['pose'].shape[0],)),
         }
         return small, out['losses'], metrics
 

@@ -209,6 +209,12 @@ class Trainer:
                 self.logger.warning(
                     'pyramid budget overflow: %d voxels dropped at some level '
                     '— recalibrate level_budgets (data/calibrate.py)', overflow)
+            rel_of = np.asarray(small.get('rel_overflow', 0)).max()
+            if rel_of > 0:
+                self.logger.warning(
+                    'blocked-search rmax overflow: %d relevant blocks beyond '
+                    'the cap (farthest dropped) — raise neighbor_rmax[_pool]',
+                    rel_of)
         avg = meter.averages()
         self.logger.info('validation @%d: %s', step, meter)
         self.val_writer.scalars('val', avg, step)
