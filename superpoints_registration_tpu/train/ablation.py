@@ -25,6 +25,7 @@ VARIANTS = [
     ('approx_max_k recall 0.99', {'neighbor_recall': 0.99}),
     ('f32 gather tables', {'gather_dtype': 'float32'}),
     ('f32 transformer compute', {'transformer_compute_dtype': 'float32'}),
+    ('blocked neighbor search (rmax 32)', {'neighbor_search': 'blocked'}),
     # Pose-solver variants (all eval-time switches, qk_regtr_full.py options):
     ('kabsch on hard correspondences (no sinkhorn)', {'use_sinkhorn': False}),
     ('sinkhorn + LGR refinement', {'use_lgr': True}),
