@@ -51,7 +51,12 @@ def gather_rows(x: jnp.ndarray, idx: jnp.ndarray, pad_value: float = 0.0) -> jnp
         [x.reshape(b * n, c), jnp.full((1, c), pad_value, x.dtype)], axis=0)
     offs = (jnp.arange(b, dtype=jnp.int32) * n)[:, None, None]
     gidx = jnp.where(idx >= n, b * n, idx + offs)
-    return jnp.take(tab, gidx.reshape(-1), axis=0).reshape(b, q, k, c)
+    # mode='promise_in_bounds': gidx is in-bounds by construction (shadow
+    # remaps to the appended row). The default mode='fill' lowers to
+    # gather + select_n, and that select forces a col-major layout on the
+    # gathered table plus a full-tensor copy (~500 MB at L0 budgets).
+    return tab.at[gidx.reshape(-1)].get(
+        mode='promise_in_bounds').reshape(b, q, k, c)
 
 
 def max_pool(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -111,14 +116,22 @@ def _fused_table_gather(s_pts, feat_list, idx, bf16: bool):
     table = jnp.concatenate([table, shadow], axis=0)
     offs = (jnp.arange(b, dtype=jnp.int32) * n)[:, None, None]
     gidx = jnp.where(idx >= n, b * n, idx + offs)
-    g = jnp.take(table, gidx.reshape(-1), axis=0)
-    g = g.reshape(*idx.shape, coord_cols + c_tot)
+    # promise_in_bounds: see gather_rows — avoids the fill-mode select_n
+    # that forces a col-major layout + full-tensor copy of the output.
+    g = table.at[gidx.reshape(-1)].get(mode='promise_in_bounds')
+    # Split coords/feats on the FLAT (R, D) gather output and reshape each
+    # piece separately: slicing the 4-D (B,Q,K,D) form forces XLA to
+    # materialize full-tensor layout copies (~3.4 GB/fwd measured at 3DMatch
+    # budgets) because the gather's natural output layout disagrees with the
+    # slice consumers'; flat column slices are layout-neutral.
     if bf16:
-        nb = g[..., :3].astype(jnp.float32) + g[..., 3:6].astype(jnp.float32)
-        feats = g[..., 6:]                   # stays bf16
+        nb = g[:, :3].astype(jnp.float32) + g[:, 3:6].astype(jnp.float32)
+        feats = g[:, 6:]                     # stays bf16
     else:
-        nb = g[..., :3]
-        feats = g[..., 3:]
+        nb = g[:, :3]
+        feats = g[:, 3:]
+    nb = nb.reshape(*idx.shape, 3)
+    feats = feats.reshape(*idx.shape, c_tot)
     return nb, feats
 
 
@@ -205,18 +218,52 @@ class KPConvOp(nn.Module):
             neighbors, neighb_x = _fused_table_gather(
                 s_pts, [x], neighb_inds,
                 bf16=self.gather_dtype == 'bfloat16')
-        rel = neighbors - q_pts[:, :, None, :]  # (B, Nq, K, 3)
+        if neighb_x is None:
+            neighb_x = gather_rows(x, neighb_inds, pad_value=0.0)  # (B,Nq,K,C)
 
-        # sq_distances to (possibly deformed) kernel points via expansion.
-        rel_sq = jnp.sum(rel * rel, axis=-1, keepdims=True)       # (B,Nq,K,1)
+        # ---- Layout-canonical compute (flat G = B*Nq batch) -------------
+        # Everything below is either elementwise or a batched matmul in the
+        # canonical (batch, rows, cols) row-major form the TPU dot wants.
+        # The influence tensor is built DIRECTLY as (G, Kp, K) — K minor —
+        # so the aggregation dot's LHS needs no transpose, and the gathered
+        # features (G, K, C) keep the flat gather's natural row-major
+        # layout. Formulations that let XLA assign layouts around 4-D
+        # einsums ('bnkp,bnkc->bnpc') were measured to insert ~3 GB/fwd of
+        # pure layout copies at 3DMatch budgets (see docs/PERF.md).
+        b, nq, k_n = neighb_inds.shape
+        g_ = b * nq
+        kp_n = self.num_kernel_points
+        rel = (neighbors - q_pts[:, :, None, :]).reshape(g_, k_n, 3)
+        neighb_x = neighb_x.reshape(g_, k_n, -1)                   # (G,K,C)
+
+        # The d=3 contraction is written as three broadcast FMAs, NOT a dot:
+        # a dot_general here forces layout round-trips (~0.8 GB/fwd measured)
+        # between its row-major output and the G-minor layout XLA prefers for
+        # the elementwise influence chain on (G,Kp,K) tensors (Kp=15/K=25
+        # pad badly in the (8,128) tile). FMAs fuse into the chain instead.
+        # In bf16 gather mode the whole chain runs in bf16 — rel is small
+        # (<= 2*radius) so bf16 is ~0.4% relative noise on distances, inside
+        # the existing ~1% tolerance of the influence weights — halving the
+        # chain's materialized bytes and removing a separate f32->bf16
+        # convert/relayout pass at the aggregation dot.
+        rel_sq = jnp.sum(rel * rel, axis=-1)                       # (G,K)
+        chain_dt = neighb_x.dtype
+        rel_c = rel.astype(chain_dt)
+        rel_sq_c = rel_sq.astype(chain_dt)
         if offsets is not None:
-            dkp = kp + offsets                                     # (B,Nq,Kp,3)
-            kp_sq = jnp.sum(dkp * dkp, axis=-1)[:, :, None, :]     # (B,Nq,1,Kp)
-            cross = jnp.einsum('bnkd,bnpd->bnkp', rel, dkp)
+            dkp = (kp + offsets).reshape(g_, kp_n, 3)              # (G,Kp,3)
+            kp_sq = jnp.sum(dkp * dkp, axis=-1)[:, :, None].astype(chain_dt)
+            dkp_c = dkp.astype(chain_dt)
+            cross = sum(dkp_c[:, :, None, d] * rel_c[:, None, :, d]
+                        for d in range(3))                         # (G,Kp,K)
         else:
-            kp_sq = jnp.sum(kp * kp, axis=-1)                      # (Kp,)
-            cross = jnp.einsum('bnkd,pd->bnkp', rel, kp)           # (B,Nq,K,Kp)
-        sq_distances = jnp.maximum(rel_sq - 2.0 * cross + kp_sq, 0.0)
+            kp_sq = jnp.sum(kp * kp, axis=-1)[None, :, None].astype(chain_dt)
+            kp_c = kp.astype(chain_dt)
+            cross = sum(kp_c[None, :, None, d] * rel_c[:, None, :, d]
+                        for d in range(3))                         # (G,Kp,K)
+        sq_distances = jnp.maximum(
+            rel_sq_c[:, None, :] - 2.0 * cross + kp_sq,
+            jnp.zeros((), chain_dt))                               # (G,Kp,K)
 
         if self.kp_influence == 'constant':
             all_weights = jnp.ones_like(sq_distances)
@@ -230,38 +277,35 @@ class KPConvOp(nn.Module):
             raise ValueError(self.kp_influence)
 
         if self.aggregation_mode == 'closest':
-            closest = jnp.argmin(sq_distances, axis=-1)
-            onehot = jax.nn.one_hot(closest, self.num_kernel_points,
-                                    dtype=all_weights.dtype)
+            closest = jnp.argmin(sq_distances, axis=1)             # (G,K)
+            onehot = jax.nn.one_hot(closest, kp_n, axis=1,
+                                    dtype=all_weights.dtype)       # (G,Kp,K)
             all_weights = all_weights * onehot
         elif self.aggregation_mode != 'sum':
             raise ValueError(self.aggregation_mode)
 
-        if neighb_x is None:
-            neighb_x = gather_rows(x, neighb_inds, pad_value=0.0)  # (B,Nq,K,C)
-
-        # bf16 gather mode: keep the (B,Nq,K,*) operands bf16 — influence
-        # weights carry ~1% clip/sqrt noise anyway and the einsum accumulates
-        # in f32; materializing these tensors in f32 doubles the dominant
-        # HBM traffic of the block.
+        # bf16 gather mode: keep the (G,Kp,K)/(G,K,C) operands bf16 —
+        # influence weights carry ~1% clip/sqrt noise anyway and the dot
+        # accumulates in f32; materializing these tensors in f32 doubles the
+        # dominant HBM traffic of the block.
         if neighb_x.dtype == jnp.bfloat16:
             all_weights = all_weights.astype(jnp.bfloat16)
 
-        # (B,Nq,Kp,K) @ (B,Nq,K,C) -> (B,Nq,Kp,C); then contract kernel dim.
-        weighted = jnp.einsum('bnkp,bnkc->bnpc', all_weights, neighb_x,
+        # (G,Kp,K) @ (G,K,C) -> (G,Kp,C); then contract the kernel dim.
+        weighted = jnp.einsum('gpk,gkc->gpc', all_weights, neighb_x,
                               preferred_element_type=jnp.float32)
         if modulations is not None:
-            weighted = weighted * modulations[..., None]
-        out = jnp.einsum('bnpc,pcd->bnd', weighted, weights,
+            weighted = weighted * modulations.reshape(g_, kp_n, 1)
+        out = jnp.einsum('gpc,pcd->gd', weighted, weights,
                          preferred_element_type=jnp.float32)
 
         # Normalize by the number of contributing neighbors: the reference
         # counts rows whose feature-sum > 0 (kpconv_blocks.py:409-412), which
         # excludes shadow rows (zero features).
         contrib = jnp.sum(jnp.sum(neighb_x.astype(jnp.float32), axis=-1) > 0.0,
-                          axis=-1)
+                          axis=-1)                                 # (G,)
         contrib = jnp.maximum(contrib, 1).astype(out.dtype)
-        return out / contrib[..., None]
+        return (out / contrib[:, None]).reshape(b, nq, self.out_channels)
 
 
 class UnaryBlock(nn.Module):

@@ -253,7 +253,8 @@ def radius_knn_blocked(queries: jnp.ndarray, q_mask: jnp.ndarray,
         qb, qm, ridx, rok = args                # (g,Q,3) (g,Q) (g,R) (g,R)
         g = qb.shape[0]
         # Block gather: g*rmax wide rows instead of per-point rows.
-        cand = jnp.take(s_tab, ridx.reshape(-1), axis=0)
+        cand = s_tab.at[ridx.reshape(-1)].get(
+            mode='promise_in_bounds')  # top_k idx: in-bounds
         cand = cand.reshape(g, rmax_eff, sblock, 3)
         cand = jnp.where(rok[..., None, None], cand, 1e6)  # dead slot -> far
         cand = cand.reshape(g, rmax_eff * sblock, 3)
