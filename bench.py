@@ -88,6 +88,17 @@ def main():
     cfg_name = os.environ.get('BENCH_CONFIG', 'regtr_3dmatch')
     cfg = load_builtin(cfg_name)
     kitti = 'kitti' in cfg_name
+    # A/B knobs for the neighbor-search variants (docs/PERF.md):
+    #   BENCH_SEARCH=brute|blocked|lane, BENCH_LANE_CPL=1|2,
+    #   BENCH_EXACT=0|1, BENCH_RECALL=0.90..0.95
+    for env, key, cast in (('BENCH_SEARCH', 'neighbor_search', str),
+                           ('BENCH_LANE_CPL', 'neighbor_lane_cpl', int),
+                           ('BENCH_EXACT', 'neighbor_exact',
+                            lambda v: v not in ('0', 'false', '')),
+                           ('BENCH_RECALL', 'neighbor_recall', float)):
+        v = os.environ.get(env)
+        if v is not None:
+            cfg[key] = cast(v)
     model = build_model('regtr.RegTR', cfg)
 
     # throughput = pairs/sec. KITTI runs batch 1 like the reference

@@ -1,0 +1,145 @@
+"""Fused distance + candidate-selection kernel: the "never materialize the
+distance matrix" neighbor search.
+
+The brute-force search (ops/neighbors.py:radius_knn) is HBM-bound: the
+(Nq, Ns) squared-distance matrix (8.6 GB per 16-cloud L0 batch as bf16) is
+written by the matmul and re-read by approx_max_k's PartialReduce —
+measured 35 ms at L0 scale on v5e, 60% of that materialization roofline
+(docs/PERF.md). The actual information needed downstream is K~25 indices
+per query; the matrix is pure traffic.
+
+This kernel fuses the augmented-matmul distance computation
+([-2q | |q|^2 | 1] @ [s | 1 | |s|^2]^T, see neighbors.py:68) with an
+on-the-fly reduction that needs NO in-kernel sort, top-k, or scatter — the
+primitives Mosaic does not expose (docs/PERF.md "Dead ends"). Instead it
+keeps, for every query, the running minimum distance (and its column) in
+each of 128 *lane residue classes* (support column mod 128, `cpl` deep):
+a pure elementwise min/select update on the VPU. Only the (Nq, cpl*128)
+candidate values + indices ever reach HBM — ~64x less traffic than the
+full matrix — and the exact K-nearest-within-candidates selection runs in
+XLA over cpl*128 columns instead of 16,384.
+
+Why lane residues recall the true neighbors: the pyramid stores points in
+Morton (voxel-sorted) order, so a query's true K-nearest live in a handful
+of short contiguous column runs. A contiguous run of m <= 128 columns
+occupies m DISTINCT residues (col mod 128 is injective on any 128-window),
+so collisions only happen *across* runs that align mod 128 — rare, and
+`cpl=2` (keep the best two per residue) absorbs almost all of them.
+This mirrors the reference's own tolerance: its GPU ball query keeps an
+arbitrary K-subset of in-radius neighbors (kpconv.py:265-292), while this
+keeps the near-exact K closest.
+
+Numerical notes: distances are computed by a HIGH-precision (bf16_3x)
+matmul with f32 accumulation — identical math to the brute path. Invalid
+support rows carry a 4e9 |s|^2 sentinel so their distances exceed any
+radius (neighbors.py:66); the radius test downstream drops them.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+_LANE = 128
+_BIG = np.float32(4e9)
+
+
+def _lane_min_kernel(q_ref, s_ref, val_ref, idx_ref, *, n_slices: int,
+                     cpl: int):
+    """Grid (B, n_qblocks, n_stiles); last axis iterates sequentially and
+    accumulates the per-residue running minima into the output refs."""
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _():
+        val_ref[...] = jnp.full(val_ref.shape, _BIG, val_ref.dtype)
+        idx_ref[...] = jnp.zeros(idx_ref.shape, idx_ref.dtype)
+
+    q = q_ref[0]                       # (BQ, 8)  f32
+    s = s_ref[0]                       # (8, BS)  f32
+    d = jax.lax.dot_general(
+        q, s, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGH,
+        preferred_element_type=jnp.float32)        # (BQ, BS)
+
+    v1 = val_ref[0, :, :_LANE]
+    i1 = idx_ref[0, :, :_LANE]
+    if cpl == 2:
+        v2 = val_ref[0, :, _LANE:]
+        i2 = idx_ref[0, :, _LANE:]
+    for u in range(n_slices):
+        chunk = d[:, u * _LANE:(u + 1) * _LANE]    # (BQ, 128)
+        tile_id = (t * n_slices + u).astype(jnp.int32)
+        b1 = chunk < v1
+        if cpl == 2:
+            # The displaced value (old best, or the newcomer if it lost)
+            # then challenges the second slot: a correct running two-min.
+            disp_v = jnp.where(b1, v1, chunk)
+            disp_i = jnp.where(b1, i1, tile_id)
+            b2 = disp_v < v2
+            v2 = jnp.where(b2, disp_v, v2)
+            i2 = jnp.where(b2, disp_i, i2)
+        v1 = jnp.where(b1, chunk, v1)
+        i1 = jnp.where(b1, tile_id, i1)
+    val_ref[0, :, :_LANE] = v1
+    idx_ref[0, :, :_LANE] = i1
+    if cpl == 2:
+        val_ref[0, :, _LANE:] = v2
+        idx_ref[0, :, _LANE:] = i2
+
+
+@partial(jax.jit, static_argnames=("bq", "bs", "cpl", "interpret"))
+def lane_min_candidates(q_aug: jnp.ndarray, s_aug_t: jnp.ndarray,
+                        bq: int = 256, bs: int = 2048, cpl: int = 2,
+                        interpret: bool = False):
+    """Per-lane-residue running minima of the distance matrix, fused.
+
+    Args:
+        q_aug: (B, Nq, 8) f32 — [-2q | |q|^2 | 1 | 0-pad] augmented queries.
+        s_aug_t: (B, 8, Ns) f32 — [s | 1 | |s|^2 | 0-pad]^T augmented supports.
+        bq: query block rows per grid cell (Nq % bq == 0).
+        bs: support columns per grid step (Ns % bs == 0, bs % 128 == 0).
+        cpl: candidates kept per lane residue (1 or 2).
+
+    Returns:
+        vals: (B, Nq, cpl*128) f32 — candidate squared distances (4e9 where
+            the residue class was never beaten, e.g. tiny Ns).
+        cols: (B, Nq, cpl*128) int32 — support column of each candidate.
+    """
+    if cpl not in (1, 2):
+        raise ValueError(f"cpl must be 1 or 2, got {cpl}")
+    b, nq, da = q_aug.shape
+    _, _, ns = s_aug_t.shape
+    bq = min(bq, nq)
+    bs = min(bs, ns)
+    if da != 8 or nq % bq or ns % bs or bs % _LANE:
+        raise ValueError(f"bad shapes: {q_aug.shape} {s_aug_t.shape} "
+                         f"bq={bq} bs={bs}")
+    n_slices = bs // _LANE
+    grid = (b, nq // bq, ns // bs)
+    kernel = partial(_lane_min_kernel, n_slices=n_slices, cpl=cpl)
+    out_w = cpl * _LANE
+    vals, tiles = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, 8), lambda bi, qi, ti: (bi, qi, 0)),
+            pl.BlockSpec((1, 8, bs), lambda bi, qi, ti: (bi, 0, ti)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, out_w), lambda bi, qi, ti: (bi, qi, 0)),
+            pl.BlockSpec((1, bq, out_w), lambda bi, qi, ti: (bi, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nq, out_w), jnp.float32),
+            jax.ShapeDtypeStruct((b, nq, out_w), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_aug, s_aug_t)
+    # tile_id -> absolute support column: col = tile_id * 128 + lane residue.
+    lane = jnp.tile(jnp.arange(_LANE, dtype=jnp.int32), (cpl,))
+    cols = tiles * _LANE + lane[None, None, :]
+    return vals, cols

@@ -28,7 +28,8 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-from .neighbors import radius_knn_batch, radius_knn_blocked_batch
+from .neighbors import (radius_knn_batch, radius_knn_blocked_batch,
+                        radius_knn_lane_batch)
 from .subsample import voxel_subsample_batch
 
 
@@ -52,11 +53,14 @@ class PyramidSpec:
     # only computes distances against AABB-relevant Morton blocks instead of
     # the full support set. `rmax` bounds relevant blocks per query block,
     # calibrated like neighborhood_limits (overflow telemetry in the meta).
-    search: str = 'brute'         # 'brute' | 'blocked'
+    search: str = 'brute'         # 'brute' | 'blocked' | 'lane'
     rmax: tuple = ()              # per-level rmax (conv); () -> default 32
     rmax_pool: tuple = ()         # per-level rmax for pools; () -> conv+8
     min_blocked_n: int = 8192     # below this support size brute is faster
                                   # (measured: no win at N=4864, v5e)
+    # Lane search (ops/pallas/knn.py): fused pallas kernel, never
+    # materializes the distance matrix; cpl = candidates per lane residue.
+    lane_cpl: int = 2
 
     @staticmethod
     def from_config(cfg, budgets: Sequence[int] | None = None) -> "PyramidSpec":
@@ -107,7 +111,8 @@ class PyramidSpec:
                            search=str(g('neighbor_search', 'brute')),
                            rmax=tuple(g('neighbor_rmax', ()) or ()),
                            rmax_pool=tuple(g('neighbor_rmax_pool', ()) or ()),
-                           min_blocked_n=int(g('neighbor_min_blocked_n', 8192)))
+                           min_blocked_n=int(g('neighbor_min_blocked_n', 8192)),
+                           lane_cpl=int(g('neighbor_lane_cpl', 2)))
 
 
 @partial(jax.jit, static_argnames=("spec", "need_upsamples", "chunk"))
@@ -170,7 +175,11 @@ def build_pyramid(points: jnp.ndarray, mask: jnp.ndarray, spec: PyramidSpec,
     }
 
     def search(q, qm, s, sm, radius, limit, rmax_default, l, pool):
-        """Dispatch brute vs blocked; blocked only pays off at scale."""
+        """Dispatch brute vs blocked/lane; the latter only pay off at scale."""
+        if spec.search == 'lane' and s.shape[1] >= spec.min_blocked_n:
+            return radius_knn_lane_batch(q, qm, s, sm, radius, limit,
+                                         cpl=spec.lane_cpl, exact=spec.exact,
+                                         recall=spec.recall)
         if spec.search == 'blocked' and s.shape[1] >= spec.min_blocked_n:
             rmaxes = spec.rmax_pool if pool else spec.rmax
             rmax = int(rmaxes[l]) if l < len(rmaxes) else rmax_default
