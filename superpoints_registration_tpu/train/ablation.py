@@ -26,6 +26,11 @@ VARIANTS = [
     ('f32 gather tables', {'gather_dtype': 'float32'}),
     ('f32 transformer compute', {'transformer_compute_dtype': 'float32'}),
     ('blocked neighbor search (rmax 32)', {'neighbor_search': 'blocked'}),
+    ('lane neighbor search (pallas, cpl=2, exact-over-candidates)',
+     {'neighbor_search': 'lane', 'neighbor_exact': True}),
+    ('lane neighbor search (cpl=1)',
+     {'neighbor_search': 'lane', 'neighbor_lane_cpl': 1,
+      'neighbor_exact': True}),
     # Pose-solver variants (all eval-time switches, qk_regtr_full.py options):
     ('kabsch on hard correspondences (no sinkhorn)', {'use_sinkhorn': False}),
     ('sinkhorn + LGR refinement', {'use_lgr': True}),

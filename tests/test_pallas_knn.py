@@ -181,6 +181,32 @@ def test_radius_knn_lane_exact_when_ns_fits():
                     == set(b_[bi, qi][b_[bi, qi] < ns].tolist()))
 
 
+def test_lane_search_under_sharded_mesh():
+    """The pallas kernel must compose with a data-parallel mesh (pjit with
+    batch-sharded inputs) — guards the dryrun_multichip/training path if
+    lane ever becomes a training-time default."""
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ('dp',))
+    rng = np.random.default_rng(6)
+    b, nq, ns = 8, 128, 256
+    q = jnp.asarray(rng.normal(size=(b, nq, 3)).astype(np.float32))
+    qm = jnp.ones((b, nq), bool)
+    s = jnp.asarray(rng.normal(size=(b, ns, 3)).astype(np.float32))
+    sm = jnp.ones((b, ns), bool)
+    sh = NamedSharding(mesh, P('dp'))
+    args = tuple(jax.device_put(x, sh) for x in (q, qm, s, sm))
+    f = jax.jit(lambda *a: radius_knn_lane_batch(*a, 0.5, 8, bq=64, bs=128,
+                                                 interpret=True),
+                in_shardings=(sh,) * 4)
+    out = f(*args)
+    ref = radius_knn_lane_batch(q, qm, s, sm, 0.5, 8, bq=64, bs=128,
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_pyramid_lane_matches_brute():
     """build_pyramid with neighbor_search=lane produces neighborhoods whose
     overlap with the brute pyramid is near-total (same budgets/masks)."""
