@@ -42,7 +42,11 @@ class Registrar:
         from .parallel.train_step import TrainState
         from .train.checkpoint import CheckpointManager
         from .train.optim import make_optimizer
+        from .utils.convert_reference import maybe_install_kernel_overrides
 
+        # Reference-converted checkpoints ship their kernel dispositions;
+        # install before the model traces (utils/convert_reference.py).
+        maybe_install_kernel_overrides(ckpt_dir)
         model = build_model(cfg.get('model', 'regtr.RegTR'), cfg)
         reg = Registrar(cfg, model, None, batch_size)
         dummy = reg._collate([(np.zeros((4, 3), np.float32),

@@ -17,6 +17,28 @@ from functools import lru_cache
 
 import numpy as np
 
+# Per-seed kernel-point overrides, installed when loading a checkpoint
+# converted from the reference (utils/convert_reference.py): the reference
+# stores each conv layer's (randomly rotated + jittered) disposition as a
+# buffer (kpconv_blocks.py:244-268 `kernel_points`), so converted weights
+# only reproduce its outputs when paired with ITS dispositions. Keyed by the
+# same per-layer `seed` that load_kernel_points would otherwise use.
+_OVERRIDES: dict | None = None
+
+
+def set_kernel_point_overrides(mapping: dict | None):
+    """Install {seed: (Kp, 3) array} overrides (None clears them)."""
+    global _OVERRIDES
+    _OVERRIDES = (None if mapping is None else
+                  {int(k): np.asarray(v, np.float32)
+                   for k, v in mapping.items()})
+
+
+def load_kernel_point_overrides(npz_path) -> dict:
+    """Read an overrides file written by utils/convert_reference.py."""
+    with np.load(npz_path) as z:
+        return {int(k): z[k] for k in z.files}
+
 
 @lru_cache(maxsize=32)
 def _optimize_disposition(num_points: int, dimension: int, fixed: str,
@@ -76,7 +98,13 @@ def load_kernel_points(radius: float, num_kpoints: int, dimension: int = 3,
     load (kernel_points.py:433-469), so each conv layer gets a different
     orientation; pass a distinct `seed` per layer to reproduce that property
     deterministically.
+
+    If overrides are installed (converted reference checkpoints), the stored
+    disposition for this seed is returned verbatim — it is already scaled,
+    rotated, and jittered.
     """
+    if _OVERRIDES is not None and seed in _OVERRIDES:
+        return _OVERRIDES[seed]
     pts = np.asarray(_optimize_disposition(num_kpoints, dimension, fixed, seed=0),
                      dtype=np.float64)
     rng = np.random.default_rng(seed + 1)

@@ -71,6 +71,15 @@ def main(argv=None):
     if args.benchmark:
         cfg = apply_benchmark_preset(cfg, args.benchmark)
 
+    if args.resume:
+        # Checkpoints converted from the reference carry the reference's
+        # kernel-point dispositions; they must be installed before the model
+        # is traced (utils/convert_reference.py).
+        from ..utils.convert_reference import maybe_install_kernel_overrides
+        if maybe_install_kernel_overrides(args.resume):
+            print('installed reference kernel-point dispositions from '
+                  'converted checkpoint')
+
     name = args.name or cfg.get('expt_name', 'run')
     run_dir = prepare_run_dir(args.logdir, cfg.get('dataset', 'unknown'), name,
                               dev=args.dev)

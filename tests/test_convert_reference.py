@@ -1,0 +1,259 @@
+"""Full-model conversion test: a reference RegTR checkpoint converted with
+utils/convert_reference.py must reproduce the reference's forward pass.
+
+This is the end-to-end extension of tests/test_reference_parity.py: one
+state_dict drives BOTH models on one input — the reference's own torch code
+(src/models/qk_regtr_full.py:126-320, with its GPU preprocessor replaced by
+our pyramid metadata exported to its packed format) against our jitted
+model with the converted tree — and the conditioned features, overlap
+probabilities, and pose must agree.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from _refutil import REF, import_reference
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason='reference checkout not present')
+
+
+@pytest.fixture(scope='module')
+def ref():
+    pytest.importorskip('torch')
+    return import_reference()
+
+
+def _tiny_cfg():
+    from superpoints_registration_tpu.config import load_builtin
+    cfg = load_builtin('regtr_3dmatch')
+    cfg['d_embed'] = 32
+    cfg['d_feedforward'] = 64
+    cfg['num_encoder_layers'] = 2
+    cfg['nhead'] = 2
+    cfg['first_feats_dim'] = 16
+    cfg['modulated'] = False
+    cfg['level_budgets'] = [256, 96, 48]
+    cfg['neighborhood_limits'] = [12, 12, 12]
+    # Exactness knobs: the parity claim is numerical, so run both sides in
+    # f32 with exact neighbor selection.
+    cfg['neighbor_exact'] = True
+    cfg['gather_dtype'] = 'float32'
+    cfg['transformer_compute_dtype'] = 'float32'
+    cfg['grad_checkpoint'] = False
+    # Keys the reference's softmax_correlation reads but the YAML (shared by
+    # both models) doesn't carry; set to the reference's operative defaults
+    # (qk_regtr_full.py:510-555 and our MatchingConfig.from_config).
+    cfg['use_attn_affinity'] = False
+    cfg['use_corr_affinity'] = False
+    cfg['remove_points_from_val'] = False
+    cfg['val_threshold'] = 0.15
+    return cfg
+
+
+def _pyramid_to_packed(ref, meta, n_levels):
+    """Export our (2, S_l, ...) mask-padded pyramid to the reference's packed
+    kpconv_meta (kpconv.py:397-418): concatenated valid rows, stack_lengths,
+    shadow index == total packed rows of the level."""
+    torch = ref.torch
+    lens, pts, nbrs, pools = [], [], [], []
+    n_valid = [[int(m) for m in np.asarray(meta['lengths'][l])]
+               for l in range(n_levels)]
+    for l in range(n_levels):
+        nv = n_valid[l]
+        total = sum(nv)
+        p = np.asarray(meta['points'][l])
+        pts.append(torch.from_numpy(
+            np.concatenate([p[c][:nv[c]] for c in range(2)])).float())
+        lens.append(torch.tensor(nv, dtype=torch.int32))
+
+        def repack(idx_l, q_level, s_level):
+            """Per-cloud budget-local indices -> packed indices."""
+            s_nv = n_valid[s_level]
+            s_total = sum(s_nv)
+            s_budget = np.asarray(meta['points'][s_level]).shape[1]
+            out = []
+            offset = 0
+            for c in range(2):
+                a = np.asarray(idx_l[c])[:n_valid[q_level][c]].astype(np.int64)
+                shadow = a >= s_nv[c]   # budget shadow OR invalid-tail row
+                a = np.where(shadow, s_total, a + offset)
+                out.append(a)
+                offset += s_nv[c]
+            return torch.from_numpy(np.concatenate(out))
+
+        nbrs.append(repack(meta['neighbors'][l], l, l))
+        if l < n_levels - 1:
+            pools.append(repack(meta['pools'][l], l + 1, l))
+    return {'points': pts, 'neighbors': nbrs, 'pools': pools,
+            'stack_lengths': lens}
+
+
+def test_full_model_forward_equality(ref, tmp_path):
+    """Random reference weights -> convert -> identical pose/overlap/feats."""
+    import flax
+    from superpoints_registration_tpu.models import build_model
+    from superpoints_registration_tpu.ops.kernel_points import (
+        set_kernel_point_overrides)
+    from superpoints_registration_tpu.ops.pyramid import (PyramidSpec,
+                                                          build_pyramid)
+    from superpoints_registration_tpu.utils.convert_reference import (
+        convert_state_dict, fill_template)
+
+    torch = ref.torch
+    cfg = _tiny_cfg()
+
+    # --- a reference model with random (non-degenerate) weights
+    torch.manual_seed(3)
+    ref_model = ref.model.RegTR(cfg)
+    ref_model.eval()
+    with torch.no_grad():
+        for prm in ref_model.parameters():
+            if prm.dim() >= 2:
+                prm.normal_(std=0.1)
+    sd = {k: v for k, v in ref_model.state_dict().items()}
+
+    params, kps = convert_state_dict(sd, cfg)
+    assert len(kps) == len([b for b in cfg.architecture
+                            if 'upsample' not in b])
+
+    # --- one tiny pair
+    rng = np.random.default_rng(0)
+    n_src, n_tgt = 180, 160
+    src = rng.uniform(0, 1.2, size=(n_src, 3)).astype(np.float32)
+    tgt = rng.uniform(0, 1.2, size=(n_tgt, 3)).astype(np.float32)
+    budget = cfg.level_budgets[0]
+
+    def pad(a, n):
+        out = np.zeros((budget, 3), np.float32)
+        out[:n] = a
+        m = np.zeros(budget, bool)
+        m[:n] = True
+        return out, m
+
+    sp, sm = pad(src, n_src)
+    tp, tm = pad(tgt, n_tgt)
+    batch = {'src_points': jnp.asarray(sp)[None],
+             'src_mask': jnp.asarray(sm)[None],
+             'tgt_points': jnp.asarray(tp)[None],
+             'tgt_mask': jnp.asarray(tm)[None],
+             # loss inputs: only needed so init's template includes the
+             # loss-module params (feature_criterion.W).
+             'pose': jnp.eye(3, 4)[None],
+             'src_overlap': jnp.asarray(sm.astype(np.float32))[None],
+             'tgt_overlap': jnp.asarray(tm.astype(np.float32))[None]}
+
+    # --- ours, with the converted tree + the reference's kernel dispositions
+    set_kernel_point_overrides(kps)
+    try:
+        model = build_model('regtr.RegTR', cfg)
+        template = jax.eval_shape(lambda k, b: model.init(k, b),
+                                  jax.random.PRNGKey(0), batch)
+        tree = fill_template(template, params)
+        out = model.apply(tree, batch, compute_loss=False)
+
+        # The packed export below must see the SAME pyramid our model built.
+        spec = PyramidSpec.from_config(cfg)
+        meta = build_pyramid(
+            jnp.concatenate([batch['src_points'], batch['tgt_points']], 0),
+            jnp.concatenate([batch['src_mask'], batch['tgt_mask']], 0),
+            spec, chunk=int(cfg.get('neighbor_chunk', 1024)))
+    finally:
+        set_kernel_point_overrides(None)
+
+    # --- the reference's own forward, fed the exported pyramid
+    packed = _pyramid_to_packed(ref, meta, spec.num_levels)
+
+    class _FixedPreprocessor(torch.nn.Module):
+        def forward(self, pts):
+            return packed
+
+    ref_model.preprocessor = _FixedPreprocessor()
+    # Our pyramid Morton-sorts level-0 points; hand the reference the sorted
+    # valid rows so both models see identical geometry.
+    l0 = np.asarray(meta['points'][0])
+    nv0 = [int(x) for x in np.asarray(meta['lengths'][0])]
+    tbatch = {'src_xyz': [torch.from_numpy(l0[0][:nv0[0]]).float()],
+              'tgt_xyz': [torch.from_numpy(l0[1][:nv0[1]]).float()]}
+    with torch.no_grad():
+        want = ref_model(tbatch)
+
+    n_src_c = int(np.asarray(meta['lengths'][-1])[0])
+    n_tgt_c = int(np.asarray(meta['lengths'][-1])[1])
+
+    # Tolerances are f32 accumulation-order noise (oneDNN vs XLA matmul
+    # orders through 8 conv blocks + the transformer): measured max abs
+    # ~4e-4 at feature magnitudes ~2, max rel ~1e-3.
+    got_src = np.asarray(out['src_feat'][-1])[0][:n_src_c]
+    want_src = want['src_feat'][0][-1].numpy()
+    np.testing.assert_allclose(got_src, want_src, atol=2e-3)
+    got_tgt = np.asarray(out['tgt_feat'][-1])[0][:n_tgt_c]
+    want_tgt = want['tgt_feat'][0][-1].numpy()
+    np.testing.assert_allclose(got_tgt, want_tgt, atol=2e-3)
+
+    # Overlap probabilities.
+    np.testing.assert_allclose(
+        np.asarray(out['src_overlap'])[0][:n_src_c],
+        want['src_overlap'][0].numpy().reshape(-1), atol=1e-3)
+
+    # Pose.
+    np.testing.assert_allclose(np.asarray(out['pose'])[0],
+                               want['pose'][0].numpy(), atol=5e-3)
+
+
+def test_convert_checkpoint_cli_roundtrip(ref, tmp_path):
+    """torch.save -> convert_checkpoint -> orbax restore reproduces the tree
+    and writes installable kernel dispositions."""
+    import flax
+    from superpoints_registration_tpu.models import build_model
+    from superpoints_registration_tpu.ops.kernel_points import (
+        load_kernel_point_overrides, set_kernel_point_overrides)
+    from superpoints_registration_tpu.parallel.train_step import TrainState
+    from superpoints_registration_tpu.train.checkpoint import CheckpointManager
+    from superpoints_registration_tpu.train.optim import make_optimizer
+    from superpoints_registration_tpu.utils.convert_reference import (
+        convert_checkpoint)
+
+    torch = ref.torch
+    cfg = _tiny_cfg()
+    torch.manual_seed(4)
+    ref_model = ref.model.RegTR(cfg)
+    pth = tmp_path / 'ref.pth'
+    torch.save({'state_dict': ref_model.state_dict()}, pth)
+
+    out_dir = tmp_path / 'converted'
+    convert_checkpoint(pth, cfg, out_dir)
+
+    kps = load_kernel_point_overrides(out_dir / 'kernel_points.npz')
+    assert set(kps) == set(range(len(kps)))
+    set_kernel_point_overrides(kps)
+    try:
+        model = build_model('regtr.RegTR', cfg)
+        from superpoints_registration_tpu.data.collate import collate_pairs
+        from superpoints_registration_tpu.data.synthetic import (
+            SyntheticPairDataset)
+        ds = SyntheticPairDataset(size=1, n_points=200, seed=0)
+        batch = {k: jnp.asarray(v) for k, v in collate_pairs(
+            [ds[0]], cfg.level_budgets[0], np.random.default_rng(0)).items()}
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+        state = TrainState.create(params, make_optimizer(cfg))
+        restored, step = CheckpointManager(out_dir / 'ckpt').restore(state)
+        assert step == 0
+        # A converted weight survives the roundtrip bit-exactly.
+        w = flax.traverse_util.flatten_dict(
+            flax.core.unfreeze(restored.params)['params'], sep='/')
+        ref_w = ref_model.state_dict()['feat_proj.weight'].numpy().T
+        np.testing.assert_array_equal(np.asarray(w['feat_proj/kernel']), ref_w)
+    finally:
+        set_kernel_point_overrides(None)
