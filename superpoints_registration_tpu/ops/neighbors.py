@@ -24,6 +24,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+# Module-level import, NOT lazy: importing a pallas module inside a traced
+# function creates device constants mid-trace, which triggers the axon
+# runtime's repeated-dispatch fault (root-caused round 2, see
+# models/kpconv.py:27-31 and docs/pallas_fault_repro.py).
+from .pallas.knn import lane_min_candidates
+
 _LANE128 = 128
 
 
@@ -393,7 +399,6 @@ def radius_knn_lane_batch(queries, q_mask, supports, s_mask, radius, k: int,
         pad_col = pad_col.at[:, 3].set(1.0).at[:, 4].set(4e9)
         s_aug_t = jnp.concatenate([s_aug_t, pad_col], axis=2)
 
-    from .pallas.knn import lane_min_candidates
     vals, cols = lane_min_candidates(q_aug, s_aug_t, bq=bq, bs=bs, cpl=cpl,
                                      interpret=interpret)
     vals, cols = vals[:, :nq], cols[:, :nq]
