@@ -14,6 +14,11 @@ pose with correspondences and confidence.
 Batched serving: `register_batch(list_of_pairs)` pads to the configured
 batch and amortizes dispatch; pairs beyond the first dimension of the
 compiled program reuse the same executable.
+
+Multi-chip serving: pass `mesh` (e.g. `parallel.mesh.make_mesh()`) to shard
+the pair axis over a data-parallel device mesh — params replicate, each
+chip registers batch_size/n_devices pairs per dispatch, XLA partitions the
+whole forward (the reference's serving path is single-GPU only).
 """
 from __future__ import annotations
 
@@ -26,17 +31,24 @@ from .data.collate import collate_pairs
 
 
 class Registrar:
-    def __init__(self, cfg, model, params, batch_size: int | None = None):
+    def __init__(self, cfg, model, params, batch_size: int | None = None,
+                 mesh=None):
         self.cfg = cfg
         self.model = model
         self.params = params
         self.budget = int(cfg.level_budgets[0])
         self.batch_size = int(batch_size or cfg.get('test_batch_size', 1))
+        self.mesh = mesh
+        if mesh is not None:
+            # One executable, batch sharded over the mesh's pair axis: round
+            # the batch up so every chip gets equal work.
+            n = mesh.devices.size
+            self.batch_size = -(-self.batch_size // n) * n
         self._apply = None
 
     @staticmethod
     def from_checkpoint(ckpt_dir, cfg, batch_size: int | None = None,
-                        step: int | None = None) -> "Registrar":
+                        step: int | None = None, mesh=None) -> "Registrar":
         import jax
         from .models import build_model
         from .parallel.train_step import TrainState
@@ -48,7 +60,7 @@ class Registrar:
         # install before the model traces (utils/convert_reference.py).
         maybe_install_kernel_overrides(ckpt_dir)
         model = build_model(cfg.get('model', 'regtr.RegTR'), cfg)
-        reg = Registrar(cfg, model, None, batch_size)
+        reg = Registrar(cfg, model, None, batch_size, mesh=mesh)
         dummy = reg._collate([(np.zeros((4, 3), np.float32),
                                np.zeros((4, 3), np.float32))])
         init = jax.jit(model.init)(jax.random.PRNGKey(0), dummy)
@@ -100,7 +112,16 @@ class Registrar:
                         'src_overlap': out['src_overlap'],
                         'tgt_overlap': out['tgt_overlap']}
 
-            self._apply = jax.jit(apply)
+            if self.mesh is not None:
+                # Sharding prefixes: params replicated, every batch/output
+                # leaf sharded on its leading (pair) axis.
+                from .parallel.mesh import batch_sharding, replicated
+                dp = batch_sharding(self.mesh)
+                self._apply = jax.jit(apply,
+                                      in_shardings=(replicated(self.mesh), dp),
+                                      out_shardings=dp)
+            else:
+                self._apply = jax.jit(apply)
         return self._apply
 
     def register(self, src_xyz, tgt_xyz) -> dict:

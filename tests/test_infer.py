@@ -45,3 +45,27 @@ class TestRegistrar:
         assert len(outs) == 3
         single = registrar.register(*pairs[0])
         np.testing.assert_allclose(outs[0]['pose'], single['pose'], atol=1e-5)
+
+    def test_mesh_sharded_serving_matches_single_device(self, registrar, rng):
+        """Multi-chip serving: an 8-device data-parallel mesh produces the
+        same poses as the unsharded Registrar (params replicate, the pair
+        axis shards, XLA partitions the whole jitted forward)."""
+        from superpoints_registration_tpu.parallel.mesh import make_mesh
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 simulated devices")
+        mesh = make_mesh(jax.devices()[:8])
+        sharded = Registrar(registrar.cfg, registrar.model, registrar.params,
+                            batch_size=2, mesh=mesh)
+        assert sharded.batch_size == 8  # rounded up to the mesh size
+        pairs = []
+        for _ in range(3):
+            src = rng.normal(size=(80, 3)).astype(np.float32)
+            pose = np.concatenate([lie_np.sample_rotation_small(rng, 0.1),
+                                   rng.normal(size=(3, 1)) * 0.1],
+                                  1).astype(np.float32)
+            pairs.append((src, lie_np.se3_transform(pose, src)))
+        outs = sharded.register_batch(pairs)
+        ref = registrar.register_batch(pairs)
+        assert len(outs) == 3
+        for got, want in zip(outs, ref):
+            np.testing.assert_allclose(got['pose'], want['pose'], atol=1e-4)
