@@ -212,6 +212,33 @@ def test_full_model_forward_equality(ref, tmp_path):
                                want['pose'][0].numpy(), atol=5e-3)
 
 
+def test_convert_maps_kitti_4level_architecture(ref):
+    """The mapping is architecture-generic: the KITTI 4-level 11-block plan
+    converts completely (every reference key consumed, one disposition per
+    conv block)."""
+    from superpoints_registration_tpu.config import load_builtin
+    from superpoints_registration_tpu.utils.convert_reference import (
+        convert_state_dict)
+
+    torch = ref.torch
+    cfg = load_builtin('regtr_kitti')
+    cfg['d_embed'] = 32
+    cfg['d_feedforward'] = 64
+    cfg['num_encoder_layers'] = 2
+    cfg['nhead'] = 2
+    cfg['first_feats_dim'] = 16
+    cfg['modulated'] = False
+    torch.manual_seed(5)
+    ref_model = ref.model.RegTR(cfg)
+    params, kps = convert_state_dict(ref_model.state_dict(), cfg)
+    assert len(kps) == 11
+    assert set(params['kpf_encoder']) == {f'blocks_{i}' for i in range(11)}
+    # Strided blocks at in_dim == out_dim have no shortcut unary; the mapped
+    # structure must mirror that (kpconv_blocks.py:695-699).
+    assert 'UnaryBlock_2' in params['kpf_encoder']['blocks_1']   # 16 -> 32
+    assert 'UnaryBlock_2' not in params['kpf_encoder']['blocks_2']  # 32 -> 32
+
+
 def test_convert_checkpoint_cli_roundtrip(ref, tmp_path):
     """torch.save -> convert_checkpoint -> orbax restore reproduces the tree
     and writes installable kernel dispositions."""
