@@ -46,6 +46,12 @@ def run(cfg, resume, out_path, logger, variants=VARIANTS):
     from ..parallel.train_step import TrainState
     from .checkpoint import CheckpointManager
     from .optim import make_optimizer
+    from ..utils.convert_reference import maybe_install_kernel_overrides
+
+    # Reference-converted checkpoints carry their kernel dispositions; they
+    # must be installed before any variant's model traces.
+    if maybe_install_kernel_overrides(resume):
+        logger.info('installed reference kernel-point dispositions')
 
     rows = []
     params_cache = {}

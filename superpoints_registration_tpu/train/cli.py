@@ -71,18 +71,31 @@ def main(argv=None):
     if args.benchmark:
         cfg = apply_benchmark_preset(cfg, args.benchmark)
 
+    overrides_installed = False
     if args.resume:
         # Checkpoints converted from the reference carry the reference's
         # kernel-point dispositions; they must be installed before the model
         # is traced (utils/convert_reference.py).
         from ..utils.convert_reference import maybe_install_kernel_overrides
-        if maybe_install_kernel_overrides(args.resume):
+        overrides_installed = maybe_install_kernel_overrides(args.resume)
+        if overrides_installed:
             print('installed reference kernel-point dispositions from '
                   'converted checkpoint')
 
     name = args.name or cfg.get('expt_name', 'run')
     run_dir = prepare_run_dir(args.logdir, cfg.get('dataset', 'unknown'), name,
                               dev=args.dev)
+    if overrides_installed and not args.test:
+        # Fine-tuning a converted checkpoint: the new run's own checkpoints
+        # must keep carrying the dispositions, or a later --resume of them
+        # would silently pair the weights with generator dispositions.
+        import shutil
+        src_npz = pathlib.Path(args.resume)
+        for cand in (src_npz / 'kernel_points.npz',
+                     src_npz.parent / 'kernel_points.npz'):
+            if cand.exists():
+                shutil.copy(cand, run_dir / 'kernel_points.npz')
+                break
     logger = prepare_logger(run_dir)
     snapshot_config(run_dir, cfg)
     logger.info('run dir: %s', run_dir)

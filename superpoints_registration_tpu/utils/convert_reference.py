@@ -46,13 +46,11 @@ def _linear(sd: dict, prefix: str, bias: bool = True) -> dict:
     return out
 
 
-def _unary(sd: dict, prefix: str, use_bn: bool) -> dict:
+def _unary(sd: dict, prefix: str) -> dict:
     """Reference UnaryBlock (kpconv_blocks.py:533-567): bias-free Linear +
-    InstanceNorm (param-free) or, when use_bn is off, a bias parameter."""
-    out = {'Dense_0': {'kernel': _t2n(sd[f'{prefix}.mlp.weight']).T}}
-    if not use_bn:
-        out['bias'] = _t2n(sd[f'{prefix}.batch_norm.bias'])
-    return out
+    InstanceNorm (param-free; use_batch_norm: false checkpoints are rejected
+    up-front in convert_state_dict)."""
+    return {'Dense_0': {'kernel': _t2n(sd[f'{prefix}.mlp.weight']).T}}
 
 
 def _mha(sd: dict, prefix: str) -> dict:
@@ -123,16 +121,15 @@ def convert_state_dict(sd: dict, cfg) -> tuple[dict, dict]:
             mid = blk['out_dim'] // 4
             u = 0
             if blk['in_dim'] != mid:
-                ours[f'UnaryBlock_{u}'] = _unary(sd, f'{rk}.unary1', use_bn)
+                ours[f'UnaryBlock_{u}'] = _unary(sd, f'{rk}.unary1')
                 consumed.add(f'{rk}.unary1.mlp.weight')
                 u += 1
             ours['KPConvOp_0'] = {'weights': _t2n(take(f'{rk}.KPConv.weights'))}
-            ours[f'UnaryBlock_{u}'] = _unary(sd, f'{rk}.unary2', use_bn)
+            ours[f'UnaryBlock_{u}'] = _unary(sd, f'{rk}.unary2')
             consumed.add(f'{rk}.unary2.mlp.weight')
             u += 1
             if blk['in_dim'] != blk['out_dim']:
-                ours[f'UnaryBlock_{u}'] = _unary(sd, f'{rk}.unary_shortcut',
-                                                 use_bn)
+                ours[f'UnaryBlock_{u}'] = _unary(sd, f'{rk}.unary_shortcut')
                 consumed.add(f'{rk}.unary_shortcut.mlp.weight')
         enc[f'blocks_{i}'] = ours
     params['kpf_encoder'] = enc
@@ -170,7 +167,16 @@ def convert_state_dict(sd: dict, cfg) -> tuple[dict, dict]:
             'norm3': _norm(sd, f'{lk}.norm3'),
         }
         tr[f'TransformerCrossEncoderLayer_{li}'] = layer
-        consumed.update(k for k in sd if k.startswith(lk + '.'))
+        # Consume exactly the keys mapped above — a blanket prefix sweep
+        # would let variant params (e.g. add_bias_kv's bias_k/bias_v) slip
+        # past the unmapped-key guard and be silently dropped.
+        for att in ('self_attn', 'multihead_attn'):
+            consumed.update({f'{lk}.{att}.in_proj_weight',
+                             f'{lk}.{att}.in_proj_bias',
+                             f'{lk}.{att}.out_proj.weight',
+                             f'{lk}.{att}.out_proj.bias'})
+        for sub in ('linear1', 'linear2', 'norm1', 'norm2', 'norm3'):
+            consumed.update({f'{lk}.{sub}.weight', f'{lk}.{sub}.bias'})
     if 'transformer_encoder.norm.weight' in sd:
         tr['LayerNorm_0'] = _norm(sd, 'transformer_encoder.norm')
         consumed.update({'transformer_encoder.norm.weight',
@@ -237,18 +243,25 @@ def convert_checkpoint(ckpt_path, cfg, out_dir) -> None:
     sd = {(k[6:] if k.startswith('model.') else k): v for k, v in sd.items()}
     params, kps = convert_state_dict(sd, cfg)
 
+    # Install only for the eval_shape trace below, then clear: the registry
+    # is process-global and a library caller's NEXT model must not silently
+    # inherit these dispositions.
     set_kernel_point_overrides(kps)
-    model = build_model(cfg.get('model', 'regtr.RegTR'), cfg)
-    budget = int(cfg.level_budgets[0])
-    ds = SyntheticPairDataset(size=1, n_points=min(budget, 1024), seed=0)
-    batch = collate_pairs([ds[0]], budget, np.random.default_rng(0))
-    # compute_loss=True (default) so loss-module params (feature_criterion.W)
-    # appear in the template; eval_shape must not trace the static flag.
-    template = jax.eval_shape(lambda k, b: model.init(k, b),
-                              jax.random.PRNGKey(0),
-                              {k: jax.numpy.asarray(v)
-                               for k, v in batch.items()})
-    tree = fill_template(template, params)
+    try:
+        model = build_model(cfg.get('model', 'regtr.RegTR'), cfg)
+        budget = int(cfg.level_budgets[0])
+        ds = SyntheticPairDataset(size=1, n_points=min(budget, 1024), seed=0)
+        batch = collate_pairs([ds[0]], budget, np.random.default_rng(0))
+        # compute_loss=True (default) so loss-module params
+        # (feature_criterion.W) appear in the template; eval_shape must not
+        # trace the static flag.
+        template = jax.eval_shape(lambda k, b: model.init(k, b),
+                                  jax.random.PRNGKey(0),
+                                  {k: jax.numpy.asarray(v)
+                                   for k, v in batch.items()})
+        tree = fill_template(template, params)
+    finally:
+        set_kernel_point_overrides(None)
 
     out_dir = pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -264,8 +277,11 @@ def convert_checkpoint(ckpt_path, cfg, out_dir) -> None:
 
 def maybe_install_kernel_overrides(resume_path) -> bool:
     """If `resume_path` (a checkpoint dir, or its parent) was produced by
-    convert_checkpoint, install its kernel dispositions. Call before the
-    model is traced. Returns True if overrides were installed."""
+    convert_checkpoint, install its kernel dispositions; otherwise CLEAR any
+    previously installed ones (the override registry is process-global, and
+    a leftover installation would silently pair a normal checkpoint's
+    weights with foreign dispositions). Call before the model is traced.
+    Returns True if overrides were installed."""
     from ..ops.kernel_points import (load_kernel_point_overrides,
                                      set_kernel_point_overrides)
 
@@ -274,6 +290,7 @@ def maybe_install_kernel_overrides(resume_path) -> bool:
         if cand.exists():
             set_kernel_point_overrides(load_kernel_point_overrides(cand))
             return True
+    set_kernel_point_overrides(None)
     return False
 
 

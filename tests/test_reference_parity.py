@@ -18,7 +18,6 @@ nibabel) are stubbed out — none of the code under test touches them; they
 are only pulled in by the package-level auto-import of src/models/__init__.
 """
 import os
-import sys
 import types
 
 import numpy as np
@@ -26,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-REF = '/root/reference/src'
+from _refutil import REF
 pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
                                 reason='reference checkout not present')
 
