@@ -78,15 +78,56 @@ def make_lidar_scene(rng, n, voxel=0.2):
     return out.astype(np.float32)
 
 
+def _bench_train(jax, jnp, cfg, model, params, batch, n_pairs, kitti):
+    """Train-step throughput: n_iters optimizer steps inside one jitted
+    lax.fori_loop (same dispatch-latency hygiene as the inference path)."""
+    from superpoints_registration_tpu.parallel.train_step import (
+        TrainState, make_train_step)
+    from superpoints_registration_tpu.train.optim import make_optimizer
+
+    tx = make_optimizer(cfg)
+    state = TrainState.create(params, tx)
+    step_fn = make_train_step(model, tx)
+    n_iters = 6
+
+    @jax.jit
+    def run(state, batch):
+        def it(i, carry):
+            st, acc = carry
+            b = dict(batch)
+            b['src_points'] = b['src_points'] + i * 1e-6
+            st, losses = step_fn(st, b)
+            return st, acc + losses['total']
+        return jax.lax.fori_loop(0, n_iters, it, (state, jnp.float32(0)))
+
+    compiled = run.lower(state, batch).compile()
+    out_state, _ = compiled(state, batch)
+    jax.block_until_ready(out_state.step)      # warmup
+    t0 = time.perf_counter()
+    out_state, acc = compiled(state, batch)
+    float(acc)
+    dt = time.perf_counter() - t0
+    steps_per_sec = n_iters / dt
+    print(json.dumps({
+        'metric': ('kitti_train_step_throughput' if kitti
+                   else '3dmatch_train_step_throughput'),
+        'value': round(steps_per_sec, 3),
+        'unit': f'steps/sec/chip (batch {n_pairs})',
+        'vs_baseline': None,
+        'pairs_per_sec': round(steps_per_sec * n_pairs, 2),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
-    from superpoints_registration_tpu.config import load_builtin
+    from superpoints_registration_tpu.config import load_builtin, load_config
     from superpoints_registration_tpu.models import build_model
     from superpoints_registration_tpu.ops import lie_np
 
     cfg_name = os.environ.get('BENCH_CONFIG', 'regtr_3dmatch')
-    cfg = load_builtin(cfg_name)
+    cfg = (load_config(cfg_name) if os.path.exists(cfg_name)
+           else load_builtin(cfg_name))
     kitti = 'kitti' in cfg_name
     # A/B knobs for the neighbor-search variants (docs/PERF.md):
     #   BENCH_SEARCH=brute|blocked|lane, BENCH_LANE_CPL=1|2,
@@ -105,7 +146,8 @@ def main():
     # (conf/qk_regtr_full_kitti.yaml test_batch_size) unless overridden.
     n_pairs = int(os.environ.get('BENCH_PAIRS', '2' if kitti else '8'))
     budget = cfg.level_budgets[0]
-    n_points = 30000 if kitti else 15000
+    n_points = int(os.environ.get('BENCH_POINTS', '30000' if kitti else '15000'))
+    n_points = min(n_points, budget)
     rng = np.random.default_rng(0)
 
     batch = {'src_points': [], 'src_mask': [], 'tgt_points': [], 'tgt_mask': [],
@@ -129,6 +171,13 @@ def main():
     batch = {k: jnp.asarray(np.stack(v)) for k, v in batch.items()}
 
     params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+
+    # BENCH_MODE=train: time the FULL training step (fwd + bwd + AdamW
+    # update under remat) instead of inference. Reported separately; the
+    # driver's headline metric stays inference.
+    if os.environ.get('BENCH_MODE') == 'train':
+        return _bench_train(jax, jnp, cfg, model, params, batch, n_pairs,
+                            kitti)
 
     n_iters = 10
 
