@@ -60,9 +60,14 @@ def _lane_min_kernel(q_ref, s_ref, val_ref, idx_ref, *, n_slices: int,
 
     q = q_ref[0]                       # (BQ, 8)  f32
     s = s_ref[0]                       # (8, BS)  f32
+    # HIGHEST, not HIGH: Mosaic's dot lowering rejects HIGH on real TPUs
+    # (pallas/mosaic/lowering.py raises "Unsupported dot precision"); the
+    # contraction is only 8 deep so full-f32 passes are free — the kernel
+    # is VMEM/HBM-traffic-bound, not MXU-bound. Interpret-mode (CPU) tests
+    # accept either.
     d = jax.lax.dot_general(
         q, s, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGH,
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)        # (BQ, BS)
 
     v1 = val_ref[0, :, :_LANE]
