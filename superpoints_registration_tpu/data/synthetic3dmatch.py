@@ -316,9 +316,12 @@ def generate(out: str, train_scenes: int = 200, val_scenes: int = 8,
                             [(p, info) for p, _, info in entries],
                             fragments_per_scene, 6)
 
+        # Info pickles are written even when empty so a small corpus fails
+        # loudly at generation (or loads as an empty dataset) instead of a
+        # later FileNotFoundError deep inside the loader.
         if split == 'test':
-            for bench, binfos in test_infos.items():
-                if binfos['rot']:
+            if n_scenes > 0:
+                for bench, binfos in test_infos.items():
                     _dump_infos(os.path.join(
                         out, 'metadata', f'test_{bench}_info.pkl'), binfos)
             summary['test_pairs_3dmatch'] = len(test_infos['3DMatch']['rot'])
@@ -326,9 +329,14 @@ def generate(out: str, train_scenes: int = 200, val_scenes: int = 8,
                 test_infos['3DLoMatch']['rot'])
             summary['test_pairs'] = summary['test_pairs_3dmatch']
         else:
-            if infos['rot']:
+            if n_scenes > 0:
                 _dump_infos(os.path.join(out, 'metadata',
                                          f'{split}_info.pkl'), infos)
+                if not infos['rot']:
+                    raise RuntimeError(
+                        f'{split} split produced 0 pairs from {n_scenes} '
+                        f'scene(s); raise fragments_per_scene or scene count '
+                        f'(every pair needs GT overlap > {overlap_hi})')
             summary[f'{split}_pairs'] = len(infos['rot'])
 
     return summary

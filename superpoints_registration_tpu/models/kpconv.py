@@ -301,9 +301,18 @@ class KPConvOp(nn.Module):
 
         # Normalize by the number of contributing neighbors: the reference
         # counts rows whose feature-sum > 0 (kpconv_blocks.py:409-412), which
-        # excludes shadow rows (zero features).
-        contrib = jnp.sum(jnp.sum(neighb_x.astype(jnp.float32), axis=-1) > 0.0,
-                          axis=-1)                                 # (G,)
+        # excludes shadow rows (zero features). Deformable convs prune
+        # neighbors out of range of EVERY deformed kernel point before that
+        # count (kpconv_blocks.py:331-356, in_range = any(sq < KP_extent^2));
+        # the pruned rows have zero influence either way, but they must not
+        # inflate the normalizer.
+        contrib_mask = jnp.sum(neighb_x.astype(jnp.float32), axis=-1) > 0.0
+        if offsets is not None:
+            in_range = jnp.any(
+                sq_distances < jnp.asarray(self.kp_extent ** 2, chain_dt),
+                axis=1)                                            # (G,K)
+            contrib_mask = contrib_mask & in_range
+        contrib = jnp.sum(contrib_mask, axis=-1)                   # (G,)
         contrib = jnp.maximum(contrib, 1).astype(out.dtype)
         return (out / contrib[:, None]).reshape(b, nq, self.out_channels)
 

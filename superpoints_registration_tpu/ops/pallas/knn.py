@@ -29,8 +29,12 @@ This mirrors the reference's own tolerance: its GPU ball query keeps an
 arbitrary K-subset of in-radius neighbors (kpconv.py:265-292), while this
 keeps the near-exact K closest.
 
-Numerical notes: distances are computed by a HIGH-precision (bf16_3x)
-matmul with f32 accumulation — identical math to the brute path. Invalid
+Numerical notes: distances are computed by a HIGHEST-precision (full-f32)
+matmul — Mosaic rejects Precision.HIGH at lowering on real TPUs (see
+docs/PERF.md), so this kernel runs full f32 while the brute path
+(neighbors.py:92) stays HIGH (bf16_3x). Near-radius ties may therefore
+resolve differently than brute; the augmented dot is only 8-deep, so the
+f32 passes are noise next to the HBM traffic either way. Invalid
 support rows carry a 4e9 |s|^2 sentinel so their distances exceed any
 radius (neighbors.py:66); the radius test downstream drops them.
 """

@@ -26,6 +26,10 @@ def parse_args(argv=None):
     p.add_argument('--name', default=None)
     p.add_argument('--dev', action='store_true', help='fixed dev run dir')
     p.add_argument('--resume', default=None, help='checkpoint dir to resume')
+    p.add_argument('--warm_start', default=None,
+                   help='checkpoint dir to initialize params from (optimizer '
+                        'state, LR schedule and step counter start fresh — '
+                        'unlike --resume)')
     p.add_argument('--niter', type=int, default=None)
     p.add_argument('--validate_every', type=int, default=-1)
     p.add_argument('--nb_sanity_val_steps', type=int, default=2)
@@ -39,6 +43,10 @@ def parse_args(argv=None):
                         'tensorboard or xprof; stages are named_scope-tagged). '
                         'Replaces the reference manual stage timers '
                         '(qk_regtr_full.py:150-290).')
+    p.add_argument('--dgr', action='store_true',
+                   help='with --test on 3DMatch: also report the DGR-protocol '
+                        'success rate (RRE < 15 deg, RTE < 0.3 m; '
+                        'benchmark_3dmatch.py:105-176) next to Predator recall')
     p.add_argument('--benchmark', default=None,
                    choices=[None, '3DMatch', '3DLoMatch', 'ModelNet', 'ModelLoNet',
                             'Kitti'],
@@ -70,6 +78,8 @@ def main(argv=None):
     cfg = load_config(cfg_path) if cfg_path.exists() else load_builtin(args.config)
     if args.benchmark:
         cfg = apply_benchmark_preset(cfg, args.benchmark)
+    if args.dgr:
+        cfg.dgr_protocol = True
 
     overrides_installed = False
     if args.resume:
@@ -127,7 +137,8 @@ def main(argv=None):
 
     train_loader = get_dataloader(cfg, 'train')
     val_loader = get_dataloader(cfg, 'val')
-    trainer.fit(model, train_loader, val_loader, resume=args.resume)
+    trainer.fit(model, train_loader, val_loader, resume=args.resume,
+                warm_start=args.warm_start)
 
 
 if __name__ == '__main__':

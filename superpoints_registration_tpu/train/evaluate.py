@@ -84,6 +84,14 @@ def run_test(cfg, model, params, loader, run_dir, logger,
             report, recall, _ = bm_predator.benchmark(out_dir, gt_dir)
             logger.info('\n%s', report)
             results['registration_recall'] = recall
+            if cfg.get('dgr_protocol', False):
+                # Alternative 3DMatch protocol: success = RRE < 15 deg AND
+                # RTE < 0.3 m on inverse trajectories
+                # (benchmark_3dmatch.py:105-176).
+                from ..benchmark import dgr as bm_dgr
+                dgr_report, dgr_rate, _ = bm_dgr.benchmark_dgr(out_dir, gt_dir)
+                logger.info('DGR protocol:\n%s', dgr_report)
+                results['dgr_success_rate'] = dgr_rate
         else:
             logger.warning('GT benchmark dir %s not found; wrote est.log only',
                            gt_dir)

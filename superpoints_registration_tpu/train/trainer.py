@@ -46,7 +46,7 @@ class Trainer:
         self.val_writer = SummaryWriterWrapper(run_dir / 'tb' / 'val')
 
     def fit(self, model, train_loader: DataLoader, val_loader: DataLoader | None,
-            resume=None):
+            resume=None, warm_start=None):
         cfg = self.cfg
         mesh = make_mesh()
         n_dev = mesh.size
@@ -62,6 +62,17 @@ class Trainer:
         self.logger.info('model parameters: %.2fM', n_params / 1e6)
 
         tx = make_optimizer(cfg)
+        if warm_start is not None:
+            # Params-only initialization from another run's checkpoint:
+            # fresh optimizer state, LR schedule, and step counter. Used to
+            # transfer features across corpus versions without inheriting a
+            # decayed schedule (unlike --resume, which restores everything).
+            donor = TrainState.create(params, tx)
+            donor, donor_step = CheckpointManager(warm_start).restore(donor)
+            params = donor.params
+            self.logger.info('warm-started params from %s step %d '
+                             '(optimizer/schedule reset)', warm_start,
+                             donor_step)
         state = TrainState.create(params, tx)
         global_step = 0
         if resume is not None:

@@ -104,27 +104,43 @@ def convert_state_dict(sd: dict, cfg) -> tuple[dict, dict]:
     # ---- KPConv encoder (kpconv.py:22-92 <-> models/kpconv.py:KPFEncoder)
     blocks, _, _ = encoder_plan(cfg)
     enc: dict = {}
+    kernel_points: dict = {}
+
+    def _kpconv(rk: str, i: int, deform: bool) -> dict:
+        """Map one reference KPConv's state onto our KPConvOp params.
+
+        Dispositions (kernel_points buffers) go to the override registry
+        keyed by the same kp_seed the flax module uses: block index `i` for
+        the main conv, `i + 1000` for its offset_conv (models/kpconv.py).
+        Deformable convs (kpconv_blocks.py:218-234,275-298) additionally
+        carry offset_conv.{weights,kernel_points} and offset_bias.
+        """
+        out = {'weights': _t2n(take(f'{rk}.weights'))}
+        if f'{rk}.kernel_points' in sd:
+            kernel_points[i] = _t2n(take(f'{rk}.kernel_points'))
+        if deform:
+            out['offset_bias'] = _t2n(take(f'{rk}.offset_bias'))
+            out['offset_conv'] = {
+                'weights': _t2n(take(f'{rk}.offset_conv.weights'))}
+            if f'{rk}.offset_conv.kernel_points' in sd:
+                kernel_points[i + 1000] = _t2n(
+                    take(f'{rk}.offset_conv.kernel_points'))
+        return out
+
     for i, blk in enumerate(blocks):
         rk = f'kpf_encoder.encoder_blocks.{i}'
-        if 'deform' in blk['name']:
-            raise NotImplementedError(
-                f"block {i} ({blk['name']}): deformable checkpoints carry "
-                "offset_conv state the converter does not map yet")
+        deform = 'deform' in blk['name']
         ours: dict = {}
-        # Our blocks consume the disposition via load_kernel_points(seed=i).
-        kp_key = f'{rk}.KPConv.kernel_points'
-        if kp_key in sd:
-            take(kp_key)
         if 'simple' in blk['name']:
-            ours['KPConvOp_0'] = {'weights': _t2n(take(f'{rk}.KPConv.weights'))}
-        else:  # resnetb / resnetb_strided
+            ours['KPConvOp_0'] = _kpconv(f'{rk}.KPConv', i, deform)
+        else:  # resnetb / resnetb_strided (optionally deformable)
             mid = blk['out_dim'] // 4
             u = 0
             if blk['in_dim'] != mid:
                 ours[f'UnaryBlock_{u}'] = _unary(sd, f'{rk}.unary1')
                 consumed.add(f'{rk}.unary1.mlp.weight')
                 u += 1
-            ours['KPConvOp_0'] = {'weights': _t2n(take(f'{rk}.KPConv.weights'))}
+            ours['KPConvOp_0'] = _kpconv(f'{rk}.KPConv', i, deform)
             ours[f'UnaryBlock_{u}'] = _unary(sd, f'{rk}.unary2')
             consumed.add(f'{rk}.unary2.mlp.weight')
             u += 1
@@ -133,11 +149,6 @@ def convert_state_dict(sd: dict, cfg) -> tuple[dict, dict]:
                 consumed.add(f'{rk}.unary_shortcut.mlp.weight')
         enc[f'blocks_{i}'] = ours
     params['kpf_encoder'] = enc
-
-    kernel_points = {
-        i: _t2n(sd[f'kpf_encoder.encoder_blocks.{i}.KPConv.kernel_points'])
-        for i in range(len(blocks))
-        if f'kpf_encoder.encoder_blocks.{i}.KPConv.kernel_points' in sd}
 
     # ---- heads and embeddings
     params['feat_proj'] = _linear(sd, 'feat_proj')
@@ -184,12 +195,16 @@ def convert_state_dict(sd: dict, cfg) -> tuple[dict, dict]:
     params['transformer_encoder'] = tr
 
     # Learned position embedding (qk_regtr_full.py:56) — flagship uses sine
-    # (no params); map the learned variant when present.
-    pe = {k for k in sd if k.startswith('pos_embed.')}
-    if pe:
-        raise NotImplementedError(
-            "pos_emb_type: learned checkpoints are not mapped yet "
-            f"(keys: {sorted(pe)[:3]}...)")
+    # (no params); the learned variant is a 5-Linear MLP whose Linears sit at
+    # Sequential indices 0,2,4,6,8 (position_embedding.py:53-72) and map onto
+    # our PositionEmbeddingLearned's Dense_0..Dense_4.
+    if any(k.startswith('pos_embed.') for k in sd):
+        params['pos_embed'] = {
+            f'Dense_{j}': _linear(sd, f'pos_embed.mlp.{2 * j}')
+            for j in range(5)}
+        for j in range(5):
+            consumed.update({f'pos_embed.mlp.{2 * j}.weight',
+                             f'pos_embed.mlp.{2 * j}.bias'})
 
     leftover = sorted(set(sd) - consumed)
     if leftover:

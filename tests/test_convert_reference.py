@@ -102,6 +102,44 @@ def _pyramid_to_packed(ref, meta, n_levels):
 
 def test_full_model_forward_equality(ref, tmp_path):
     """Random reference weights -> convert -> identical pose/overlap/feats."""
+    cfg = _tiny_cfg()
+    kps = _assert_full_model_parity(ref, cfg, seed=3)
+    assert len(kps) == len([b for b in cfg.architecture
+                            if 'upsample' not in b])
+
+
+def test_full_model_forward_equality_deformable_learned_posemb(ref):
+    """Converter coverage for the two formerly-rejected checkpoint families:
+    deformable KPConv blocks (offset_conv weights + offset_bias,
+    kpconv_blocks.py:218-234,275-298) and the learned position embedding
+    (position_embedding.py:53-72). deform_radius is pinned to conv_radius so
+    the reference's deformable radius inflation (kpconv.py:374-375) is a
+    no-op and both models see the same pyramid."""
+    cfg = _tiny_cfg()
+    cfg['architecture'] = ['simple', 'resnetb_deformable',
+                           'resnetb_deformable_strided', 'resnetb',
+                           'resnetb_strided', 'resnetb']
+    cfg['deform_radius'] = cfg['conv_radius']
+    cfg['pos_emb_type'] = 'learned'
+    kps = _assert_full_model_parity(ref, cfg, seed=7)
+    # One disposition per conv block + one per offset conv (seed + 1000).
+    assert set(kps) == {0, 1, 2, 3, 4, 5, 1001, 1002}
+
+
+def test_full_model_forward_equality_deformable_modulated(ref):
+    """Modulated deformable checkpoints (offset_dim = (p_dim+1)*K,
+    modulations = 2*sigmoid — kpconv_blocks.py:282-295) convert too."""
+    cfg = _tiny_cfg()
+    cfg['architecture'] = ['simple', 'resnetb_deformable', 'resnetb_strided',
+                           'resnetb']
+    cfg['deform_radius'] = cfg['conv_radius']
+    cfg['modulated'] = True
+    _assert_full_model_parity(ref, cfg, seed=11)
+
+
+def _assert_full_model_parity(ref, cfg, seed):
+    """One reference state_dict drives both models on one input; features,
+    overlap and pose must agree. Returns the converted dispositions."""
     import flax
     from superpoints_registration_tpu.models import build_model
     from superpoints_registration_tpu.ops.kernel_points import (
@@ -112,21 +150,22 @@ def test_full_model_forward_equality(ref, tmp_path):
         convert_state_dict, fill_template)
 
     torch = ref.torch
-    cfg = _tiny_cfg()
 
     # --- a reference model with random (non-degenerate) weights
-    torch.manual_seed(3)
+    torch.manual_seed(seed)
     ref_model = ref.model.RegTR(cfg)
     ref_model.eval()
     with torch.no_grad():
-        for prm in ref_model.parameters():
+        for name, prm in ref_model.named_parameters():
             if prm.dim() >= 2:
                 prm.normal_(std=0.1)
+            elif 'offset_bias' in name:
+                # Exercise the offset path: zero bias + small random weights
+                # would leave the deformation nearly inactive.
+                prm.uniform_(-0.02, 0.02)
     sd = {k: v for k, v in ref_model.state_dict().items()}
 
     params, kps = convert_state_dict(sd, cfg)
-    assert len(kps) == len([b for b in cfg.architecture
-                            if 'upsample' not in b])
 
     # --- one tiny pair
     rng = np.random.default_rng(0)
@@ -210,6 +249,7 @@ def test_full_model_forward_equality(ref, tmp_path):
     # Pose.
     np.testing.assert_allclose(np.asarray(out['pose'])[0],
                                want['pose'][0].numpy(), atol=5e-3)
+    return kps
 
 
 def test_convert_maps_kitti_4level_architecture(ref):

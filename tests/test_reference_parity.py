@@ -426,3 +426,60 @@ class TestKPConvParity:
         p['params']['weights'] = jnp.asarray(t2n(ref_op.weights))
         got = np.asarray(op.apply(flax.core.freeze(p), *args))[0]
         np.testing.assert_allclose(got, want, atol=3e-5)
+
+    @pytest.mark.parametrize('modulated', [False, True])
+    def test_deformable_forward_equality(self, ref, rng, monkeypatch,
+                                         modulated):
+        """Deformable (+modulated) KPConv: offsets from the transplanted
+        offset_conv, deformed influences, in-range normalizer pruning
+        (kpconv_blocks.py:275-356,397-414)."""
+        import flax
+        from superpoints_registration_tpu.models import kpconv as my_kp
+        torch = ref.torch
+        n, k, cin, cout = 60, 12, 8, 10
+        # Small extent relative to the offsets so some neighbors fall out of
+        # range of every deformed kernel point — exercising the reference's
+        # pruning effect on the neighbor-count normalizer.
+        kp_extent, radius = 0.06, 0.15
+
+        torch.manual_seed(9)
+        ref_op = ref.kp.KPConv(15, 3, cin, cout, kp_extent, radius,
+                               fixed_kernel_points='center',
+                               KP_influence='linear', aggregation_mode='sum',
+                               deformable=True, modulated=modulated)
+        with torch.no_grad():
+            ref_op.weights.normal_(std=0.2)
+            ref_op.offset_conv.weights.normal_(std=0.2)
+            ref_op.offset_bias.uniform_(-0.05, 0.05)
+        disp = {0: t2n(ref_op.kernel_points),
+                1000: t2n(ref_op.offset_conv.kernel_points)}
+        monkeypatch.setattr(my_kp, 'load_kernel_points',
+                            lambda *a, **kw: disp[kw.get('seed', 0)])
+
+        pts = rng.uniform(0, 0.8, size=(n, 3)).astype(np.float32)
+        x = rng.normal(size=(n, cin)).astype(np.float32)
+        d2 = np.sum((pts[:, None] - pts[None]) ** 2, axis=-1)
+        nb = np.full((n, k), n, np.int64)
+        for i in range(n):
+            cand = np.argsort(d2[i])
+            cand = cand[d2[i][cand] <= radius ** 2][:k]
+            nb[i, :len(cand)] = cand
+
+        with torch.no_grad():
+            want = t2n(ref_op(torch.from_numpy(pts), torch.from_numpy(pts),
+                              torch.from_numpy(nb), torch.from_numpy(x)))
+
+        op = my_kp.KPConvOp(15, cin, cout, kp_extent, radius,
+                            fixed_kernel_points='center',
+                            kp_influence='linear', aggregation_mode='sum',
+                            deformable=True, modulated=modulated, kp_seed=0)
+        args = (jnp.asarray(pts)[None], jnp.asarray(pts)[None],
+                jnp.asarray(nb.astype(np.int32))[None], jnp.asarray(x)[None])
+        params = op.init(jax.random.PRNGKey(0), *args)
+        p = flax.core.unfreeze(params)
+        p['params']['weights'] = jnp.asarray(t2n(ref_op.weights))
+        p['params']['offset_bias'] = jnp.asarray(t2n(ref_op.offset_bias))
+        p['params']['offset_conv'] = {
+            'weights': jnp.asarray(t2n(ref_op.offset_conv.weights))}
+        got = np.asarray(op.apply(flax.core.freeze(p), *args))[0]
+        np.testing.assert_allclose(got, want, atol=3e-5)
