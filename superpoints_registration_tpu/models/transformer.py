@@ -80,13 +80,18 @@ class TransformerCrossEncoderLayer(nn.Module):
     ca_val_has_pos_emb: bool = True
     activation: str = 'relu'
     cross_only: bool = False     # transformer_only_ce.py variant (no self-attn)
-    attention_impl: str = 'dense'  # 'dense' | 'chunked'
+    attention_impl: str = 'dense'  # 'dense' | 'chunked' | 'ring'
     compute_dtype: str = 'float32'
 
     def _mha(self):
         if self.attention_impl == 'chunked':
             from .mem_eff_attention import ChunkedMultiheadAttention
             return ChunkedMultiheadAttention(self.d_model, self.nhead)
+        if self.attention_impl == 'ring':
+            # Sequence-parallel exact attention over a mesh axis; requires
+            # parallel.ring_attention.set_ring_mesh before tracing.
+            from ..parallel.ring_attention import RingMultiheadAttention
+            return RingMultiheadAttention(self.d_model, self.nhead)
         return MultiheadAttention(self.d_model, self.nhead,
                                   compute_dtype=self.compute_dtype)
 

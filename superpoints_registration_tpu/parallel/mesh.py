@@ -35,6 +35,40 @@ def make_mesh(devices=None, data_axis: str = 'data') -> Mesh:
     return Mesh(devices.reshape(-1), (data_axis,))
 
 
+def make_mesh_2d(n_data: int, n_seq: int, devices=None,
+                 data_axis: str = 'data', seq_axis: str = 'seq') -> Mesh:
+    """(data, seq) mesh: batch sharded over `data_axis`, attention sequence
+    sharded over `seq_axis` (ring attention, parallel/ring_attention.py).
+    The seq axis is laid out minor so K/V ring hops ride adjacent-chip ICI.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_data * n_seq > devices.size:
+        raise ValueError(f"mesh {n_data}x{n_seq} needs {n_data * n_seq} "
+                         f"devices, have {devices.size}")
+    return Mesh(devices[:n_data * n_seq].reshape(n_data, n_seq),
+                (data_axis, seq_axis))
+
+
+def make_mesh_from_config(cfg, devices=None) -> Mesh:
+    """Training/eval mesh from config: a 1-D data-parallel mesh, or — when
+    `attention_impl: ring` — a (data, seq) mesh with `ring_seq_shards`
+    devices on the sequence axis, installed for the ring-attention modules.
+    """
+    if cfg.get('attention_impl', 'dense') == 'ring':
+        devices = list(devices if devices is not None else jax.devices())
+        n_seq = int(cfg.get('ring_seq_shards', 0)) or len(devices)
+        n_data = len(devices) // n_seq
+        if n_data == 0:
+            raise ValueError(
+                f"ring_seq_shards={n_seq} exceeds the {len(devices)} "
+                f"available device(s)")
+        mesh = make_mesh_2d(n_data, n_seq, devices)
+        from .ring_attention import set_ring_mesh
+        set_ring_mesh(mesh)
+        return mesh
+    return make_mesh(devices)
+
+
 def make_mesh_for_batch(batch_size: int, data_axis: str = 'data') -> Mesh:
     """Mesh over the largest device count that divides batch_size (>= 1)."""
     devices = jax.devices()

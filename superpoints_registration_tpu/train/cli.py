@@ -71,6 +71,13 @@ def apply_benchmark_preset(cfg, benchmark):
 
 def main(argv=None):
     args = parse_args(argv)
+    import os
+    if 'cpu' in os.environ.get('JAX_PLATFORMS', ''):
+        # Honor an explicit CPU request (smoke runs, virtual multi-device
+        # meshes): the axon sitecustomize force-registers the TPU backend
+        # via jax.config.update, which beats the env var.
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
     if args.debug:
         import jax
         jax.config.update('jax_debug_nans', True)

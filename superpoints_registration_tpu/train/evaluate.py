@@ -17,14 +17,18 @@ import numpy as np
 from ..benchmark import modelnet as bm_modelnet
 from ..benchmark import predator as bm_predator
 
-from ..parallel.mesh import make_mesh_for_batch, shard_batch
+from ..parallel.mesh import (make_mesh_for_batch, make_mesh_from_config,
+                             shard_batch)
 from ..parallel.train_step import make_eval_step
 
 
 def run_test(cfg, model, params, loader, run_dir, logger,
              benchmark_gt_root: str | None = None) -> dict:
     """Run the test loop and the dataset-specific benchmark. Returns metrics."""
-    mesh = make_mesh_for_batch(loader.batch_size)
+    if cfg.get('attention_impl', 'dense') == 'ring':
+        mesh = make_mesh_from_config(cfg)   # (data, seq) + ring-mesh install
+    else:
+        mesh = make_mesh_for_batch(loader.batch_size)
     eval_step = make_eval_step(model, cfg, mesh=mesh)
     dataset = loader.dataset
     ds_name = cfg.get('dataset')

@@ -19,7 +19,8 @@ import jax
 import numpy as np
 
 from ..data.loader import DataLoader
-from ..parallel.mesh import make_mesh, make_mesh_for_batch, replicated, shard_batch
+from ..parallel.mesh import (make_mesh_for_batch, make_mesh_from_config
+                             as _make_training_mesh, replicated, shard_batch)
 from ..parallel.train_step import TrainState, make_train_step, make_eval_step
 from .checkpoint import CheckpointManager
 from .metrics import StatsMeter
@@ -48,8 +49,8 @@ class Trainer:
     def fit(self, model, train_loader: DataLoader, val_loader: DataLoader | None,
             resume=None, warm_start=None):
         cfg = self.cfg
-        mesh = make_mesh()
-        n_dev = mesh.size
+        mesh = _make_training_mesh(cfg)
+        n_dev = mesh.shape['data']
         if train_loader.batch_size % n_dev != 0:
             raise ValueError(f"batch size {train_loader.batch_size} not divisible "
                              f"by {n_dev} devices")
