@@ -163,6 +163,69 @@ class TestModelNetDataset:
         assert np.median(resid) < 0.2
 
 
+class TestSyntheticModelNet:
+    def test_generator_feeds_real_pipeline(self, tmp_path, rng):
+        """synthetic_modelnet writes the exact modelnet40_ply_hdf5_2048
+        protocol: the real dataset loader + crop transform pipeline runs on
+        it and the GT pose aligns the correspondences."""
+        from superpoints_registration_tpu.data.synthetic_modelnet import (
+            generate, make_shape)
+        # Analytic normals are unit and shapes fit the unit sphere.
+        for lab in (0, 13, 39):
+            p, n = make_shape(rng, lab, 256)
+            assert np.abs(np.linalg.norm(n, axis=1) - 1).max() < 1e-5
+            assert np.linalg.norm(p, axis=1).max() <= 1 + 1e-6
+
+        s = generate(str(tmp_path), n_train=12, n_test=6, seed=0,
+                     n_points=512)
+        assert s == {'train': 12, 'test': 6, 'classes': 40}
+
+        from superpoints_registration_tpu.data.modelnet import (
+            ModelNetPairDataset)
+        cfg = Config(root=str(tmp_path),
+                     train_categoryfile=str(tmp_path / 'modelnet40_half1.txt'),
+                     test_categoryfile=str(tmp_path / 'modelnet40_half2.txt'),
+                     noise_type='crop', rot_mag=45.0, trans_mag=0.5,
+                     num_points=128, partial=[0.7, 0.7], overlap_radius=0.04)
+        for phase in ('train', 'test'):
+            ds = ModelNetPairDataset(cfg, phase)
+            assert len(ds) >= 1
+            d = ds[0]
+            warped = lie_np.se3_transform(
+                d['pose'], d['src_xyz'][d['correspondences'][0]])
+            resid = np.linalg.norm(
+                warped - d['tgt_xyz'][d['correspondences'][1]], axis=1)
+            assert np.median(resid) < 0.2
+
+
+class TestSyntheticKitti:
+    def test_generator_feeds_real_pipeline(self, tmp_path, rng):
+        """synthetic_kitti writes the exact KITTI odometry protocol: the real
+        loader builds >=10 m pairs from the poses file, conjugates the cam
+        odometry through the devkit calibration, ICP-refines, and the
+        resulting GT aligns the generated scans."""
+        from superpoints_registration_tpu.data.synthetic_kitti import generate
+        from superpoints_registration_tpu.data.kitti import KittiPairDataset
+        s = generate(str(tmp_path), frames_per_seq=22, seqs=[8, 9, 10],
+                     seed=0, max_points=15000)
+        assert s == {'sequences': 3, 'frames': 66}
+        cfg = Config(root=str(tmp_path), first_subsampling_dl=0.15,
+                     overlap_radius=0.45, augment_noise=0.01,
+                     perturb_pose='small')
+        ds = KittiPairDataset(cfg, 'test')
+        assert len(ds) >= 3
+        d = ds[0]
+        warped = lie_np.se3_transform(d['pose'],
+                                      d['src_xyz'][d['src_overlap'] > 0])
+        from scipy.spatial import cKDTree
+        dist, _ = cKDTree(d['tgt_xyz']).query(warped, k=1)
+        # At 15k points over a 55 m range the inter-scan NN spacing alone is
+        # ~0.16 m; the bound only needs to rule out misalignment (pairs are
+        # >= 10 m apart, a frame off would be >= 1.3 m).
+        assert np.median(dist) < 0.25
+        assert (d['src_overlap'] > 0).mean() > 0.5
+
+
 class TestKittiDataset:
     def test_fixture_pipeline(self, tmp_path, rng):
         # Fake KITTI odometry: one sequence with 4 scans moving +12m in x each.
