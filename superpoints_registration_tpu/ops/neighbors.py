@@ -330,7 +330,8 @@ def radius_knn_blocked_batch(queries, q_mask, supports, s_mask, radius,
 def radius_knn_lane_batch(queries, q_mask, supports, s_mask, radius, k: int,
                           cpl: int = 2, bq: int = 256, bs: int = 2048,
                           exact: bool = True, recall: float = 0.95,
-                          interpret: bool | None = None):
+                          interpret: bool | None = None,
+                          packed: bool = False):
     """Batched fused-kernel search; same contract as `radius_knn_batch`.
 
     The pallas kernel reduces the distance matrix to cpl*128 candidates per
@@ -399,8 +400,14 @@ def radius_knn_lane_batch(queries, q_mask, supports, s_mask, radius, k: int,
         pad_col = pad_col.at[:, 3].set(1.0).at[:, 4].set(4e9)
         s_aug_t = jnp.concatenate([s_aug_t, pad_col], axis=2)
 
-    vals, cols = lane_min_candidates(q_aug, s_aug_t, bq=bq, bs=bs, cpl=cpl,
-                                     interpret=interpret)
+    if packed:
+        # Packed-key kernel (docs/PERF.md round-4): ~3 VPU ops/element vs ~8.
+        from .pallas.knn import lane_min_candidates_packed
+        vals, cols = lane_min_candidates_packed(q_aug, s_aug_t, bq=bq, bs=bs,
+                                                cpl=cpl, interpret=interpret)
+    else:
+        vals, cols = lane_min_candidates(q_aug, s_aug_t, bq=bq, bs=bs,
+                                         cpl=cpl, interpret=interpret)
     vals, cols = vals[:, :nq], cols[:, :nq]
 
     if exact:

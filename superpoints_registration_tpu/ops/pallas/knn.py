@@ -100,6 +100,108 @@ def _lane_min_kernel(q_ref, s_ref, val_ref, idx_ref, *, n_slices: int,
         idx_ref[0, :, _LANE:] = i2
 
 
+def _lane_min_packed_kernel(q_ref, s_ref, key_ref, *, n_slices: int,
+                            cpl: int, code_bits: int):
+    """Packed-key revision of _lane_min_kernel (docs/PERF.md round-3 verdict:
+    the unrolled compare/select chain was VPU-bound at ~8 ops/element).
+
+    One monotone int32 key carries (distance bits | global tile code): for
+    d >= 0 the IEEE-754 pattern is order-preserving, so clearing the low
+    `code_bits` mantissa bits (<= 2^-15 relative rounding) and OR-ing in the
+    scalar tile code makes min() select by distance AND remember where the
+    winner came from. Per 128-lane slice that is one AND, one scalar OR and
+    one min (~3 VPU ops/element vs ~8), and the cross-tile running update
+    collapses to a single elementwise min. cpl=2 keeps two independent
+    minima per residue fed by tile PARITY (even tiles -> slot 0, odd ->
+    slot 1) instead of a true running two-best — collisions within one
+    parity class lose their runner-up; the recall tests and the ablation
+    gate (docs/ABLATION.md) judge whether that difference matters.
+    """
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _():
+        key_ref[...] = jnp.full(key_ref.shape, np.int32(2 ** 31 - 1),
+                                key_ref.dtype)
+
+    q = q_ref[0]                       # (BQ, 8)  f32
+    s = s_ref[0]                       # (8, BS)  f32
+    d = jax.lax.dot_general(
+        q, s, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)        # (BQ, BS)
+
+    bits = jax.lax.bitcast_convert_type(d, jnp.int32)
+    low_mask = np.int32((1 << code_bits) - 1)
+    masked = jnp.bitwise_and(bits, ~low_mask)
+    m = None
+    for u in range(n_slices):
+        code = (t * n_slices + u).astype(jnp.int32)
+        keyed = jnp.bitwise_or(masked[:, u * _LANE:(u + 1) * _LANE], code)
+        m = keyed if m is None else jnp.minimum(m, keyed)
+    if cpl == 1:
+        key_ref[0, :, :] = jnp.minimum(key_ref[0, :, :], m)
+    else:
+        # Tile-parity slots: even tiles feed slot 0, odd tiles slot 1 — two
+        # independent running minima per residue from disjoint column sets.
+        @pl.when(t % 2 == 0)
+        def _():
+            key_ref[0, :, :_LANE] = jnp.minimum(key_ref[0, :, :_LANE], m)
+
+        @pl.when(t % 2 == 1)
+        def _():
+            key_ref[0, :, _LANE:] = jnp.minimum(key_ref[0, :, _LANE:], m)
+
+
+@partial(jax.jit, static_argnames=("bq", "bs", "cpl", "interpret"))
+def lane_min_candidates_packed(q_aug: jnp.ndarray, s_aug_t: jnp.ndarray,
+                               bq: int = 256, bs: int = 2048, cpl: int = 2,
+                               interpret: bool = False):
+    """Packed-key fused search: same contract as lane_min_candidates.
+
+    Returns (vals, cols) with vals rounded DOWN by at most 2^-(23-code_bits)
+    relative (the mantissa bits the tile code occupies) — ~1.5e-5 at L0
+    scale, far inside the bf16-grade tolerance of the brute path's top-k.
+    """
+    if cpl not in (1, 2):
+        raise ValueError(f"cpl must be 1 or 2, got {cpl}")
+    b, nq, da = q_aug.shape
+    _, _, ns = s_aug_t.shape
+    bq = min(bq, nq)
+    bs = min(bs, ns)
+    if da != 8 or nq % bq or ns % bs or bs % _LANE:
+        raise ValueError(f"bad shapes: {q_aug.shape} {s_aug_t.shape} "
+                         f"bq={bq} bs={bs}")
+    n_slices = bs // _LANE
+    n_codes = ns // _LANE
+    code_bits = max(int(np.ceil(np.log2(max(n_codes, 2)))), 1)
+    if code_bits > 12:
+        raise ValueError(f"{ns} support columns need {code_bits} code bits; "
+                         "the mantissa rounding would exceed 2^-11")
+    grid = (b, nq // bq, ns // bs)
+    kernel = partial(_lane_min_packed_kernel, n_slices=n_slices, cpl=cpl,
+                     code_bits=code_bits)
+    out_w = cpl * _LANE
+    keys = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, 8), lambda bi, qi, ti: (bi, qi, 0)),
+            pl.BlockSpec((1, 8, bs), lambda bi, qi, ti: (bi, 0, ti)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, out_w), lambda bi, qi, ti: (bi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nq, out_w), jnp.int32),
+        interpret=interpret,
+    )(q_aug, s_aug_t)
+    low_mask = np.int32((1 << code_bits) - 1)
+    code = jnp.bitwise_and(keys, low_mask)
+    vals = jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(keys, ~low_mask), jnp.float32)
+    lane = jnp.tile(jnp.arange(_LANE, dtype=jnp.int32), (cpl,))
+    cols = code * _LANE + lane[None, None, :]
+    return vals, cols
+
+
 @partial(jax.jit, static_argnames=("bq", "bs", "cpl", "interpret"))
 def lane_min_candidates(q_aug: jnp.ndarray, s_aug_t: jnp.ndarray,
                         bq: int = 256, bs: int = 2048, cpl: int = 2,

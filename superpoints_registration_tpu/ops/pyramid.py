@@ -176,10 +176,12 @@ def build_pyramid(points: jnp.ndarray, mask: jnp.ndarray, spec: PyramidSpec,
 
     def search(q, qm, s, sm, radius, limit, rmax_default, l, pool):
         """Dispatch brute vs blocked/lane; the latter only pay off at scale."""
-        if spec.search == 'lane' and s.shape[1] >= spec.min_blocked_n:
+        if (spec.search in ('lane', 'lane_packed')
+                and s.shape[1] >= spec.min_blocked_n):
             return radius_knn_lane_batch(q, qm, s, sm, radius, limit,
                                          cpl=spec.lane_cpl, exact=spec.exact,
-                                         recall=spec.recall)
+                                         recall=spec.recall,
+                                         packed=spec.search == 'lane_packed')
         if spec.search == 'blocked' and s.shape[1] >= spec.min_blocked_n:
             rmaxes = spec.rmax_pool if pool else spec.rmax
             rmax = int(rmaxes[l]) if l < len(rmaxes) else rmax_default

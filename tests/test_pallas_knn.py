@@ -123,8 +123,9 @@ def test_lane_min_cpl2_keeps_two_smallest_per_residue():
     np.testing.assert_allclose(v, d[0][np.arange(nq)[:, None], c], atol=1e-4)
 
 
-@pytest.mark.parametrize("cpl,min_recall", [(1, 0.85), (2, 0.97)])
-def test_radius_knn_lane_recall_morton(cpl, min_recall):
+@pytest.mark.parametrize("packed", [False, True])
+@pytest.mark.parametrize("cpl,min_recall", [(1, 0.85), (2, 0.95)])
+def test_radius_knn_lane_recall_morton(cpl, min_recall, packed):
     """End-to-end: on Morton-sorted clouds the lane search recovers nearly
     all exact neighbors; shadow convention and masks match the brute path."""
     rng = np.random.default_rng(2)
@@ -132,7 +133,8 @@ def test_radius_knn_lane_recall_morton(cpl, min_recall):
     radius, k = 0.25, 16
     exact = radius_knn_batch(q, qm, s, sm, radius, k, exact=True)
     lane = radius_knn_lane_batch(q, qm, s, sm, radius, k, cpl=cpl,
-                                 bq=128, bs=256, interpret=True)
+                                 bq=128, bs=256, interpret=True,
+                                 packed=packed)
     ns = s.shape[1]
     assert lane.shape == exact.shape
     # Invalid queries -> all shadow.
@@ -147,14 +149,16 @@ def test_radius_knn_lane_recall_morton(cpl, min_recall):
     assert r >= min_recall, f"recall {r:.3f} < {min_recall} (cpl={cpl})"
 
 
-def test_radius_knn_lane_padding_and_tiny():
+@pytest.mark.parametrize("packed", [False, True])
+def test_radius_knn_lane_padding_and_tiny(packed):
     """Non-multiple Nq/Ns exercise the padding path; padded support columns
     must never be returned as neighbors (sentinel distance)."""
     rng = np.random.default_rng(3)
     q, qm, s, sm = _make_clouds(rng, b=1, nq=200, ns=300)
     radius, k = 0.3, 8
     lane = radius_knn_lane_batch(q, qm, s, sm, radius, k, cpl=2,
-                                 bq=64, bs=128, interpret=True)
+                                 bq=64, bs=128, interpret=True,
+                                 packed=packed)
     exact = radius_knn_batch(q, qm, s, sm, radius, k, exact=True)
     ns = s.shape[1]
     ret = np.asarray(lane)
@@ -164,14 +168,18 @@ def test_radius_knn_lane_padding_and_tiny():
     assert _recall(lane, exact, ns) >= 0.9
 
 
-def test_radius_knn_lane_exact_when_ns_fits():
+@pytest.mark.parametrize("packed", [False, True])
+def test_radius_knn_lane_exact_when_ns_fits(packed):
     """Ns <= cpl*128 -> the candidate set contains every support column, so
-    the result must EQUAL the exact brute search (as sets per query)."""
+    the result must EQUAL the exact brute search (as sets per query).
+    (For the packed kernel the two tiles of 128 feed slots by tile parity,
+    so coverage is complete there too.)"""
     rng = np.random.default_rng(4)
     q, qm, s, sm = _make_clouds(rng, b=2, nq=96, ns=256, sort=False)
     radius, k = 0.4, 8
     lane = radius_knn_lane_batch(q, qm, s, sm, radius, k, cpl=2,
-                                 bq=32, bs=128, interpret=True)
+                                 bq=32, bs=128, interpret=True,
+                                 packed=packed)
     exact = radius_knn_batch(q, qm, s, sm, radius, k, exact=True)
     ns = s.shape[1]
     a, b_ = np.asarray(lane), np.asarray(exact)
