@@ -401,13 +401,21 @@ def radius_knn_lane_batch(queries, q_mask, supports, s_mask, radius, k: int,
         s_aug_t = jnp.concatenate([s_aug_t, pad_col], axis=2)
 
     if packed:
-        # Packed-key kernel (docs/PERF.md round-4): ~3 VPU ops/element vs ~8.
-        from .pallas.knn import lane_min_candidates_packed
-        vals, cols = lane_min_candidates_packed(q_aug, s_aug_t, bq=bq, bs=bs,
-                                                cpl=cpl, interpret=interpret)
-    else:
-        vals, cols = lane_min_candidates(q_aug, s_aug_t, bq=bq, bs=bs,
-                                         cpl=cpl, interpret=interpret)
+        # Packed-key kernel + key-domain selection (docs/PERF.md round-4):
+        # k-of-256 on the PartialReduce unit straight over the monotone
+        # int32 keys — no unpack of losers, no sort, no gather.
+        from .pallas.knn import (lane_min_keys_packed, packed_code_bits,
+                                 select_k_packed)
+        keys = lane_min_keys_packed(q_aug, s_aug_t, bq=bq, bs=bs,
+                                    cpl=cpl, interpret=interpret)
+        vals, idx = select_k_packed(keys[:, :nq],
+                                    k, packed_code_bits(s_aug_t.shape[2]),
+                                    cpl, exact=exact, recall=recall)
+        ok = (vals <= r_sq) & q_mask[..., None] & (idx < ns)
+        return jnp.where(ok, idx, ns).astype(jnp.int32)
+
+    vals, cols = lane_min_candidates(q_aug, s_aug_t, bq=bq, bs=bs,
+                                     cpl=cpl, interpret=interpret)
     vals, cols = vals[:, :nq], cols[:, :nq]
 
     if exact:

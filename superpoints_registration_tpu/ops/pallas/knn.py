@@ -109,36 +109,61 @@ def _lane_min_packed_kernel(q_ref, s_ref, key_ref, *, n_slices: int,
     d >= 0 the IEEE-754 pattern is order-preserving, so clearing the low
     `code_bits` mantissa bits (<= 2^-15 relative rounding) and OR-ing in the
     scalar tile code makes min() select by distance AND remember where the
-    winner came from. Per 128-lane slice that is one AND, one scalar OR and
-    one min (~3 VPU ops/element vs ~8), and the cross-tile running update
-    collapses to a single elementwise min. cpl=2 keeps two independent
-    minima per residue fed by tile PARITY (even tiles -> slot 0, odd ->
-    slot 1) instead of a true running two-best — collisions within one
-    parity class lose their runner-up; the recall tests and the ablation
-    gate (docs/ABLATION.md) judge whether that difference matters.
+    winner came from. The round-4 on-chip measurement (kernels/bench_knn.py)
+    showed the ~3-vs-8-ops argument alone moved nothing (201 vs 204 ms):
+    the unrolled per-slice Python loop itself was the pathology. This
+    version instead (a) ORs a broadcast iota-derived code over the whole
+    (BQ, BS) tile at once and reduces with ONE reshape-min over the slice
+    axis (measured 67 ms vs 201), and (b) replaces the HIGHEST-precision
+    f32 dot (Mosaic rejects HIGH in-kernel) with a manual bf16_3x
+    decomposition — hi/lo bf16 splits, three MXU passes accumulated in f32,
+    exactly Precision.HIGH's algorithm and exactly the brute path's math
+    (neighbors.py:92) — measured 40 ms for the DEFAULT-precision dot vs
+    67 ms HIGHEST at this tile shape.
+
+    cpl=2 keeps two independent minima per residue fed by tile PARITY
+    (even tiles -> slot 0, odd -> slot 1) instead of a true running
+    two-best — collisions within one parity class lose their runner-up;
+    the recall tests and the ablation gate (docs/ABLATION.md) judge
+    whether that difference matters.
     """
     t = pl.program_id(2)
 
     @pl.when(t == 0)
     def _():
-        key_ref[...] = jnp.full(key_ref.shape, np.int32(2 ** 31 - 1),
+        # Sentinel = max FINITE f32 bit pattern (0x7F7FFFFF), not INT32_MAX:
+        # the never-updated key is later bitcast to f32 by select_k_packed's
+        # PartialReduce path, and 0x7FFFFFFF would read as NaN there.
+        key_ref[...] = jnp.full(key_ref.shape, np.int32(0x7F7FFFFF),
                                 key_ref.dtype)
 
     q = q_ref[0]                       # (BQ, 8)  f32
     s = s_ref[0]                       # (8, BS)  f32
-    d = jax.lax.dot_general(
-        q, s, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)        # (BQ, BS)
+    # Manual bf16_3x (== lax.Precision.HIGH, which Mosaic won't lower):
+    # x = hi + lo with hi = bf16(x); q@s ~= qh@sh + qh@sl + ql@sh, dropping
+    # only the lo*lo term (~2^-16 relative) — identical math to the brute
+    # path. Each pass is a native bf16 MXU matmul with f32 accumulation.
+    qh = q.astype(jnp.bfloat16)
+    ql = (q - qh.astype(jnp.float32)).astype(jnp.bfloat16)
+    sh = s.astype(jnp.bfloat16)
+    sl = (s - sh.astype(jnp.float32)).astype(jnp.bfloat16)
+    dims = (((1,), (0,)), ((), ()))
+
+    def bf16_dot(a, b):
+        return jax.lax.dot_general(a, b, dims,
+                                   preferred_element_type=jnp.float32)
+
+    d = bf16_dot(qh, sh) + bf16_dot(qh, sl) + bf16_dot(ql, sh)  # (BQ, BS)
 
     bits = jax.lax.bitcast_convert_type(d, jnp.int32)
     low_mask = np.int32((1 << code_bits) - 1)
-    masked = jnp.bitwise_and(bits, ~low_mask)
-    m = None
-    for u in range(n_slices):
-        code = (t * n_slices + u).astype(jnp.int32)
-        keyed = jnp.bitwise_or(masked[:, u * _LANE:(u + 1) * _LANE], code)
-        m = keyed if m is None else jnp.minimum(m, keyed)
+    bq, bs = d.shape
+    # Column code for every element in one shot: tile base + slice index.
+    code = (t * n_slices
+            + jax.lax.broadcasted_iota(jnp.int32, (bq, bs), 1) // _LANE)
+    keyed = jnp.bitwise_or(jnp.bitwise_and(bits, ~low_mask), code)
+    # One reduce over the slice axis instead of an unrolled min chain.
+    m = jnp.min(keyed.reshape(bq, n_slices, _LANE), axis=1)
     if cpl == 1:
         key_ref[0, :, :] = jnp.minimum(key_ref[0, :, :], m)
     else:
@@ -153,15 +178,22 @@ def _lane_min_packed_kernel(q_ref, s_ref, key_ref, *, n_slices: int,
             key_ref[0, :, _LANE:] = jnp.minimum(key_ref[0, :, _LANE:], m)
 
 
-@partial(jax.jit, static_argnames=("bq", "bs", "cpl", "interpret"))
-def lane_min_candidates_packed(q_aug: jnp.ndarray, s_aug_t: jnp.ndarray,
-                               bq: int = 256, bs: int = 2048, cpl: int = 2,
-                               interpret: bool = False):
-    """Packed-key fused search: same contract as lane_min_candidates.
+def packed_code_bits(ns: int) -> int:
+    """Mantissa bits the tile code occupies for an Ns-column support set."""
+    n_codes = ns // _LANE
+    return max(int(np.ceil(np.log2(max(n_codes, 2)))), 1)
 
-    Returns (vals, cols) with vals rounded DOWN by at most 2^-(23-code_bits)
-    relative (the mantissa bits the tile code occupies) — ~1.5e-5 at L0
-    scale, far inside the bf16-grade tolerance of the brute path's top-k.
+
+@partial(jax.jit, static_argnames=("bq", "bs", "cpl", "interpret"))
+def lane_min_keys_packed(q_aug: jnp.ndarray, s_aug_t: jnp.ndarray,
+                         bq: int = 256, bs: int = 2048, cpl: int = 2,
+                         interpret: bool = False):
+    """Packed-key fused search, raw keys out (use select_k_packed to finish).
+
+    Keys encode (distance bits & ~low_mask) | tile_code; distances are
+    rounded DOWN by at most 2^-(23-code_bits) relative (the mantissa bits
+    the tile code occupies) — ~1.5e-5 at L0 scale, far inside the
+    bf16-grade tolerance of the brute path's top-k.
     """
     if cpl not in (1, 2):
         raise ValueError(f"cpl must be 1 or 2, got {cpl}")
@@ -173,8 +205,7 @@ def lane_min_candidates_packed(q_aug: jnp.ndarray, s_aug_t: jnp.ndarray,
         raise ValueError(f"bad shapes: {q_aug.shape} {s_aug_t.shape} "
                          f"bq={bq} bs={bs}")
     n_slices = bs // _LANE
-    n_codes = ns // _LANE
-    code_bits = max(int(np.ceil(np.log2(max(n_codes, 2)))), 1)
+    code_bits = packed_code_bits(ns)
     if code_bits > 12:
         raise ValueError(f"{ns} support columns need {code_bits} code bits; "
                          "the mantissa rounding would exceed 2^-11")
@@ -193,12 +224,54 @@ def lane_min_candidates_packed(q_aug: jnp.ndarray, s_aug_t: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, nq, out_w), jnp.int32),
         interpret=interpret,
     )(q_aug, s_aug_t)
+    return keys
+
+
+def lane_min_candidates_packed(q_aug: jnp.ndarray, s_aug_t: jnp.ndarray,
+                               bq: int = 256, bs: int = 2048, cpl: int = 2,
+                               interpret: bool = False):
+    """Packed-key fused search: same contract as lane_min_candidates.
+
+    Unpacks every candidate (256 values+cols per query). Prefer
+    lane_min_keys_packed + select_k_packed, which selects k of 256 FIRST
+    on the PartialReduce unit and unpacks only the survivors.
+    """
+    keys = lane_min_keys_packed(q_aug, s_aug_t, bq=bq, bs=bs, cpl=cpl,
+                                interpret=interpret)
+    code_bits = packed_code_bits(s_aug_t.shape[2])
     low_mask = np.int32((1 << code_bits) - 1)
     code = jnp.bitwise_and(keys, low_mask)
     vals = jax.lax.bitcast_convert_type(
         jnp.bitwise_and(keys, ~low_mask), jnp.float32)
     lane = jnp.tile(jnp.arange(_LANE, dtype=jnp.int32), (cpl,))
     cols = code * _LANE + lane[None, None, :]
+    return vals, cols
+
+
+def select_k_packed(keys: jnp.ndarray, k: int, code_bits: int, cpl: int,
+                    exact: bool = False, recall: float = 0.95):
+    """K smallest candidates straight from packed keys — no sort, no gather.
+
+    The packed key is monotone in distance AND non-negative (d >= 0 keeps
+    the sign bit clear), so its int32 bit pattern reinterpreted as f32 is
+    ALSO monotone — `approx_max_k(-bitcast(keys))` selects the k nearest on
+    the TPU PartialReduce unit instead of a full sort, and the support
+    column falls out arithmetically: col = (key & low_mask) * 128 +
+    (slot % 128) (slot layout: [parity-0 lanes | parity-1 lanes]).
+    The squared distance is recovered by masking the code bits back out.
+
+    Returns (vals, cols): (B, Nq, k) f32 squared distances and int32 columns.
+    """
+    kf = jax.lax.bitcast_convert_type(keys, jnp.float32)
+    if exact:
+        neg_kf, slot = jax.lax.top_k(-kf, k)
+    else:
+        neg_kf, slot = jax.lax.approx_max_k(-kf, k, recall_target=recall)
+    sel = jax.lax.bitcast_convert_type(-neg_kf, jnp.int32)
+    low_mask = np.int32((1 << code_bits) - 1)
+    vals = jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(sel, ~low_mask), jnp.float32)
+    cols = jnp.bitwise_and(sel, low_mask) * _LANE + slot % _LANE
     return vals, cols
 
 
