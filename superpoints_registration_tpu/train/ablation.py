@@ -31,6 +31,8 @@ VARIANTS = [
     ('lane neighbor search (cpl=1)',
      {'neighbor_search': 'lane', 'neighbor_lane_cpl': 1,
       'neighbor_exact': True}),
+    ('lane_packed neighbor search (key-domain approx select)',
+     {'neighbor_search': 'lane_packed'}),
     # Pose-solver variants (all eval-time switches, qk_regtr_full.py options):
     ('kabsch on hard correspondences (no sinkhorn)', {'use_sinkhorn': False}),
     ('sinkhorn + LGR refinement', {'use_lgr': True}),
