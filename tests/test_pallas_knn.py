@@ -244,3 +244,36 @@ def test_pyramid_lane_matches_brute():
                     same += len(ex)
                     hit += len(ex & got)
             assert hit / max(same, 1) >= 0.97, (key, hit / max(same, 1))
+
+
+@pytest.mark.parametrize("exact_sel", [False, True])
+def test_packed_key_select_all_invalid_supports(exact_sel):
+    """All-invalid supports leave every packed key at its sentinel; the
+    key-domain selection (select_k_packed, bitcast-f32 approx_max_k) must
+    stay NaN-free (sentinel is the max FINITE float pattern) and return
+    all-shadow output."""
+    rng = np.random.default_rng(5)
+    q, qm, s, _ = _make_clouds(rng, b=1, nq=128, ns=256, sort=False)
+    sm = jnp.zeros(s.shape[:2], bool)
+    out = radius_knn_lane_batch(q, qm, s, sm, 0.3, 8, cpl=2, bq=64, bs=128,
+                                interpret=True, packed=True,
+                                exact=exact_sel)
+    assert np.all(np.asarray(out) == s.shape[1])
+
+
+def test_packed_approx_select_matches_exact_select():
+    """exact=False routes through approx_max_k on bitcast keys; on CPU the
+    PartialReduce fallback is exact, so both selections must agree as sets
+    (guards the monotone-bitcast + arithmetic column unpack plumbing)."""
+    rng = np.random.default_rng(6)
+    q, qm, s, sm = _make_clouds(rng, b=2, nq=256, ns=512)
+    a = radius_knn_lane_batch(q, qm, s, sm, 0.25, 12, cpl=2, bq=64, bs=128,
+                              interpret=True, packed=True, exact=False)
+    b = radius_knn_lane_batch(q, qm, s, sm, 0.25, 12, cpl=2, bq=64, bs=128,
+                              interpret=True, packed=True, exact=True)
+    ns = s.shape[1]
+    a, b = np.asarray(a), np.asarray(b)
+    for bi in range(a.shape[0]):
+        for qi in range(a.shape[1]):
+            assert (set(a[bi, qi][a[bi, qi] < ns].tolist())
+                    == set(b[bi, qi][b[bi, qi] < ns].tolist()))
