@@ -13,6 +13,7 @@ the single jitted train_step (parallel/train_step.py). Behavioral parity:
 """
 from __future__ import annotations
 
+import pathlib
 import time
 
 import jax
@@ -69,7 +70,13 @@ class Trainer:
             # transfer features across corpus versions without inheriting a
             # decayed schedule (unlike --resume, which restores everything).
             donor = TrainState.create(params, tx)
-            donor, donor_step = CheckpointManager(warm_start).restore(donor)
+            # Accept either a manager root (.../ckpt -> best/latest step) or a
+            # specific step directory (.../ckpt/40000 -> exactly that step).
+            ws = pathlib.Path(warm_start)
+            ws_step = None
+            if ws.name.isdigit():
+                ws_step, ws = int(ws.name), ws.parent
+            donor, donor_step = CheckpointManager(ws).restore(donor, step=ws_step)
             params = donor.params
             self.logger.info('warm-started params from %s step %d '
                              '(optimizer/schedule reset)', warm_start,
