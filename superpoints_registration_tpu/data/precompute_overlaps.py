@@ -20,21 +20,41 @@ from ..ops import lie_np
 from .pointcloud import compute_overlap
 
 
-def precompute(dataset, out_path: str, search_radius: float):
-    """Iterate raw pairs (pre-augmentation) and store masks per pair index."""
+def precompute(dataset, out_path: str, search_radius: float,
+               compression: str | None = 'lzf'):
+    """Iterate raw pairs (pre-augmentation) and store masks per pair index.
+
+    lzf (not gzip) by default: on corpora of tens of thousands of pairs the
+    gzip deflate pass costs more CPU than the KD-tree queries themselves,
+    and this file is a local cache, not an artifact to ship.
+    """
+    import time
+
     import h5py
+    t0 = time.time()
     with h5py.File(out_path, 'w') as f:
         for i in range(len(dataset)):
             d = dataset[i]
-            src_mask, tgt_mask, corr = compute_overlap(
-                lie_np.se3_transform(d['pose'], d['src_xyz']), d['tgt_xyz'],
-                search_radius)
+            if 'src_overlap' in d:
+                # datasets without a mask cache compute overlap in __getitem__
+                # (threedmatch.py) — reuse it rather than paying the KD-tree
+                # queries a second time here
+                src_mask = np.asarray(d['src_overlap']).astype(bool)
+                tgt_mask = np.asarray(d['tgt_overlap']).astype(bool)
+                corr = np.asarray(d['correspondences'])
+            else:
+                src_mask, tgt_mask, corr = compute_overlap(
+                    lie_np.se3_transform(d['pose'], d['src_xyz']),
+                    d['tgt_xyz'], search_radius)
             g = f.create_group(f'pair_{i:06d}')
-            g.create_dataset('src_mask', data=src_mask, compression='gzip')
-            g.create_dataset('tgt_mask', data=tgt_mask, compression='gzip')
-            g.create_dataset('src_tgt_corr', data=corr, compression='gzip')
-            if (i + 1) % 100 == 0:
-                print(f'{i + 1}/{len(dataset)} pairs done')
+            g.create_dataset('src_mask', data=src_mask, compression=compression)
+            g.create_dataset('tgt_mask', data=tgt_mask, compression=compression)
+            g.create_dataset('src_tgt_corr', data=corr, compression=compression)
+            if (i + 1) % 500 == 0:
+                rate = (i + 1) / (time.time() - t0)
+                eta = (len(dataset) - i - 1) / rate
+                print(f'{i + 1}/{len(dataset)} pairs done '
+                      f'({rate:.1f}/s, eta {eta / 60:.1f} min)', flush=True)
     print(f'wrote {out_path}')
 
 
