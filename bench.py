@@ -136,10 +136,20 @@ def main():
                            ('BENCH_LANE_CPL', 'neighbor_lane_cpl', int),
                            ('BENCH_EXACT', 'neighbor_exact',
                             lambda v: v not in ('0', 'false', '')),
-                           ('BENCH_RECALL', 'neighbor_recall', float)):
+                           ('BENCH_RECALL', 'neighbor_recall', float),
+                           # Gather-impl A/B (xla fused take vs pallas
+                           # windowed-DMA, models/kpconv.py)
+                           ('BENCH_GATHER', 'gather_impl', str)):
         v = os.environ.get(env)
         if v is not None:
             cfg[key] = cast(v)
+    # Tightened L0 operating point (VERDICT r4 weak-1d): the search matrix
+    # scales with budget^2 and the gathers linearly, so a budget that hugs
+    # the actual cloud size instead of the next power of two is free
+    # throughput. BENCH_BUDGETS="15360,4608,1440" overrides per-level.
+    v = os.environ.get('BENCH_BUDGETS')
+    if v is not None:
+        cfg['level_budgets'] = [int(x) for x in v.split(',')]
     model = build_model('regtr.RegTR', cfg)
 
     # throughput = pairs/sec. KITTI runs batch 1 like the reference

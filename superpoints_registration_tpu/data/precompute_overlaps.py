@@ -31,6 +31,24 @@ def precompute(dataset, out_path: str, search_radius: float,
     import time
 
     import h5py
+    # The 'src_overlap' fast path below trusts the dataset's own masks, which
+    # is only valid when the dataset computed them fresh in __getitem__ at
+    # search_radius. Two footguns guarded here: (a) a dataset that loaded an
+    # existing overlapmask.h5 would hand back STALE masks and this run would
+    # copy them into the new file; (b) a dataset configured with a different
+    # overlap radius would hand back masks at that radius, silently ignoring
+    # the search_radius argument.
+    if getattr(dataset, 'pairs_data', None) is not None:
+        print('precompute: disabling the dataset\'s loaded overlap cache so '
+              f'masks are recomputed fresh at radius {search_radius}')
+        dataset.pairs_data = None
+    ds_radius = getattr(dataset, 'search_radius', None)
+    if ds_radius is not None and abs(ds_radius - search_radius) > 1e-9:
+        raise ValueError(
+            f'search_radius={search_radius} differs from the dataset\'s own '
+            f'overlap radius {ds_radius}; the masks its __getitem__ computes '
+            f'would use the latter. Pass the dataset\'s radius (or build the '
+            f'dataset with overlap_radius={search_radius}).')
     t0 = time.time()
     with h5py.File(out_path, 'w') as f:
         for i in range(len(dataset)):

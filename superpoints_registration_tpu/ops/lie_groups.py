@@ -122,8 +122,10 @@ class _LieBase:
         return self.data.shape[:-2]
 
     def __len__(self):
+        # Reference parity (liegroupbase.py:109-111): an unbatched transform
+        # has length 1 rather than raising.
         if self.data.ndim == 2:
-            raise TypeError('len() of an unbatched transform')
+            return 1
         return self.data.shape[0]
 
     def __getitem__(self, item):

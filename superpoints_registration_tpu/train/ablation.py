@@ -33,6 +33,14 @@ VARIANTS = [
       'neighbor_exact': True}),
     ('lane_packed neighbor search (key-domain approx select)',
      {'neighbor_search': 'lane_packed'}),
+    # Windowed-DMA pallas gather (ops/pallas/gather.py): ~2% of far
+    # neighbors drop to shadow; its accuracy cost gates flipping
+    # gather_impl's default (VERDICT r4 item 3).
+    ('pallas windowed-DMA gather', {'gather_impl': 'pallas'}),
+    # The full promotion candidate (VERDICT r4 item 2): every throughput
+    # lever at once — gated on THIS row staying inside the 0.5% guardrail.
+    ('promoted stack (recall 0.90 + pallas gather)',
+     {'neighbor_recall': 0.90, 'gather_impl': 'pallas'}),
     # Pose-solver variants (all eval-time switches, qk_regtr_full.py options):
     ('kabsch on hard correspondences (no sinkhorn)', {'use_sinkhorn': False}),
     ('sinkhorn + LGR refinement', {'use_lgr': True}),
@@ -113,6 +121,9 @@ def main(argv=None):
     p.add_argument('--config', required=True)
     p.add_argument('--resume', required=True)
     p.add_argument('--out', default='docs/ABLATION.md')
+    p.add_argument('--only', default=None,
+                   help='run only variants whose name contains this substring '
+                        '(baseline always runs: deltas need it)')
     args = p.parse_args(argv)
 
     import logging
@@ -122,7 +133,11 @@ def main(argv=None):
     cfg_path = pathlib.Path(args.config)
     cfg = (load_config(cfg_path) if cfg_path.exists()
            else load_builtin(args.config))
-    run(cfg, args.resume, args.out, logger)
+    variants = VARIANTS
+    if args.only:
+        variants = [VARIANTS[0]] + [v for v in VARIANTS[1:]
+                                    if args.only in v[0]]
+    run(cfg, args.resume, args.out, logger, variants=variants)
 
 
 if __name__ == '__main__':

@@ -74,7 +74,11 @@ class Trainer:
             # specific step directory (.../ckpt/40000 -> exactly that step).
             ws = pathlib.Path(warm_start)
             ws_step = None
-            if ws.name.isdigit():
+            # Treat an all-digit last component as a step directory only if it
+            # actually holds a checkpoint; an all-digit run dir (for instance
+            # logs/20260820 named after a date) is a manager root, and
+            # stripping it would silently restore from the wrong tree.
+            if ws.name.isdigit() and (ws / '_CHECKPOINT_METADATA').exists():
                 ws_step, ws = int(ws.name), ws.parent
             donor, donor_step = CheckpointManager(ws).restore(donor, step=ws_step)
             params = donor.params
@@ -154,7 +158,13 @@ class Trainer:
                 if global_step % self.summary_every == 0:
                     self._fetch_pending(pending, stats)
                     self.train_writer.scalars('loss', stats.averages(), global_step)
-                    rate = global_step / (time.perf_counter() - t_start)
+                    # Rate over steps executed THIS run (steps_done), not
+                    # global_step: after a resume the two differ by the
+                    # restored step count and global_step/elapsed would
+                    # report a wildly inflated then asymptotically decaying
+                    # it/s (observed: 12.92 it/s right after a step-4000
+                    # resume).
+                    rate = steps_done / (time.perf_counter() - t_start)
                     self.logger.info('step %d/%d loss %.4f (%.2f it/s)',
                                      global_step, total_iter,
                                      self._loss_smooth, rate)
@@ -235,7 +245,15 @@ class Trainer:
                     'the cap (farthest dropped) — raise neighbor_rmax[_pool]',
                     rel_of)
         avg = meter.averages()
-        self.logger.info('validation @%d: %s', step, meter)
+        # Label truncated (sanity) passes distinctly: they run only the first
+        # nb_sanity_val_steps batches, so their metrics are NOT comparable to
+        # the full-set scheduled validations (a resumed run's sanity line at
+        # the same step legitimately differs from the pre-crash full line).
+        if limit_steps is not None:
+            self.logger.info('sanity validation @%d (first %d batches): %s',
+                             step, limit_steps, meter)
+        else:
+            self.logger.info('validation @%d: %s', step, meter)
         self.val_writer.scalars('val', avg, step)
         for k, chunks in hists.items():
             self.val_writer.histogram(f'val/{k}', np.concatenate(chunks), step)

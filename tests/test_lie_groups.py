@@ -22,6 +22,7 @@ class TestSO3Class:
         assert SO3.identity().data.shape == (3, 3)
         assert SO3.identity(5).data.shape == (5, 3, 3)
         assert len(SO3.identity(5)) == 5
+        assert len(SO3.identity()) == 1  # reference liegroupbase.py:109-111
 
     def test_exp_log_roundtrip(self, nprng):
         omega = nprng.normal(size=(32, 3))
