@@ -101,6 +101,9 @@ def _bench_train(jax, jnp, cfg, model, params, batch, n_pairs, kitti):
         return jax.lax.fori_loop(0, n_iters, it, (state, jnp.float32(0)))
 
     compiled = run.lower(state, batch).compile()
+    if os.environ.get('BENCH_COMPILE_ONLY'):
+        print(json.dumps({'metric': 'compile_only', 'value': 1}))
+        return
     out_state, _ = compiled(state, batch)
     jax.block_until_ready(out_state.step)      # warmup
     t0 = time.perf_counter()
@@ -121,6 +124,8 @@ def _bench_train(jax, jnp, cfg, model, params, batch, n_pairs, kitti):
 def main():
     import jax
     import jax.numpy as jnp
+    from superpoints_registration_tpu.train.cli import _enable_compile_cache
+    _enable_compile_cache()
     from superpoints_registration_tpu.config import load_builtin, load_config
     from superpoints_registration_tpu.models import build_model
     from superpoints_registration_tpu.ops import lie_np
@@ -207,6 +212,12 @@ def main():
         return jax.lax.fori_loop(0, n_iters, it, jnp.float32(0))
 
     compiled = run.lower(params, batch).compile()
+    if os.environ.get('BENCH_COMPILE_ONLY'):
+        # Populate the persistent compilation cache without touching the
+        # chip (used to pre-compile A/B variants while a training run owns
+        # the device); timing a shared chip would be meaningless anyway.
+        print(json.dumps({'metric': 'compile_only', 'value': 1}))
+        return
     float(compiled(params, batch))  # warmup
 
     t0 = time.perf_counter()

@@ -129,6 +129,8 @@ def main(argv=None):
     import logging
     logging.basicConfig(level=logging.INFO)
     logger = logging.getLogger('ablation')
+    from .cli import _enable_compile_cache
+    _enable_compile_cache()
     from ..config import load_builtin, load_config
     cfg_path = pathlib.Path(args.config)
     cfg = (load_config(cfg_path) if cfg_path.exists()

@@ -69,9 +69,26 @@ def apply_benchmark_preset(cfg, benchmark):
     return cfg
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (measured cross-process: 0.9 s ->
+    0.06 s on the axon backend). TPU compiles run 1-10 min through the
+    remote-compiler tunnel, so re-runs of the same config (test sweeps,
+    ablation variants, resumed training) get their programs back for free.
+    Opt out / relocate with JAX_COMPILATION_CACHE_DIR."""
+    import os
+    import pathlib as _pl
+    default = str(_pl.Path(__file__).resolve().parents[2] / '.jax_cache')
+    cache = os.environ.get('JAX_COMPILATION_CACHE_DIR', default)
+    if cache and cache != '0':
+        import jax
+        jax.config.update('jax_compilation_cache_dir', cache)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+
 def main(argv=None):
     args = parse_args(argv)
     import os
+    _enable_compile_cache()
     if 'cpu' in os.environ.get('JAX_PLATFORMS', ''):
         # Honor an explicit CPU request (smoke runs, virtual multi-device
         # meshes): the axon sitecustomize force-registers the TPU backend
