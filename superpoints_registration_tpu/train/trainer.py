@@ -29,6 +29,22 @@ from .optim import make_optimizer
 from ..utils.logging_utils import SummaryWriterWrapper, prepare_logger
 
 
+def resolve_warm_start(warm_start) -> tuple[pathlib.Path, int | None]:
+    """Resolve a --warm_start path to (manager_root, step | None).
+
+    Accepts either a manager root (.../ckpt -> best/latest step) or a
+    specific step directory (.../ckpt/40000 -> exactly that step). An
+    all-digit last component is treated as a step directory only if it
+    actually holds a checkpoint; an all-digit run dir (for instance
+    logs/20260820 named after a date) is a manager root, and stripping it
+    would silently restore from the wrong tree.
+    """
+    ws = pathlib.Path(warm_start)
+    if ws.name.isdigit() and (ws / '_CHECKPOINT_METADATA').exists():
+        return ws.parent, int(ws.name)
+    return ws, None
+
+
 class Trainer:
     def __init__(self, cfg, run_dir, niter: int | None = None,
                  validate_every: int = -1, nb_sanity_val_steps: int = 2,
@@ -72,14 +88,7 @@ class Trainer:
             donor = TrainState.create(params, tx)
             # Accept either a manager root (.../ckpt -> best/latest step) or a
             # specific step directory (.../ckpt/40000 -> exactly that step).
-            ws = pathlib.Path(warm_start)
-            ws_step = None
-            # Treat an all-digit last component as a step directory only if it
-            # actually holds a checkpoint; an all-digit run dir (for instance
-            # logs/20260820 named after a date) is a manager root, and
-            # stripping it would silently restore from the wrong tree.
-            if ws.name.isdigit() and (ws / '_CHECKPOINT_METADATA').exists():
-                ws_step, ws = int(ws.name), ws.parent
+            ws, ws_step = resolve_warm_start(warm_start)
             donor, donor_step = CheckpointManager(ws).restore(donor, step=ws_step)
             params = donor.params
             self.logger.info('warm-started params from %s step %d '

@@ -64,6 +64,28 @@ class TestTrainerFit:
         for x, y in zip(a, b):
             np.testing.assert_array_equal(x, y)
 
+    def test_warm_start_resolution(self, tmp_path):
+        """resolve_warm_start: (a) manager root passes through, (b) a step
+        dir holding a checkpoint is split into (root, step), (c) an
+        ALL-DIGIT directory that is itself a manager root — the
+        advisor-flagged case where a bare name.isdigit() heuristic would
+        silently restore from the parent — passes through unchanged."""
+        from superpoints_registration_tpu.train.trainer import resolve_warm_start
+
+        root = tmp_path / 'ckpt'
+        step_dir = root / '4000'
+        step_dir.mkdir(parents=True)
+        (step_dir / '_CHECKPOINT_METADATA').write_text('{}')
+        assert resolve_warm_start(root) == (root, None)
+        assert resolve_warm_start(step_dir) == (root, 4000)
+        # All-digit dir WITHOUT checkpoint metadata = a manager root (e.g. a
+        # date-named run dir logs/20260820), not a step to strip.
+        digit_root = tmp_path / '20260820'
+        (digit_root / '1000').mkdir(parents=True)
+        (digit_root / '1000' / '_CHECKPOINT_METADATA').write_text('{}')
+        assert resolve_warm_start(digit_root) == (digit_root, None)
+        assert resolve_warm_start(digit_root / '1000') == (digit_root, 1000)
+
 
 class TestLoader:
     def test_deterministic_epoch_order(self):
