@@ -158,10 +158,14 @@ class KPConvOp(nn.Module):
     gather_dtype: str = 'float32'  # 'float32' | 'bfloat16'
 
     def _use_pallas(self) -> bool:
-        # 'auto' currently resolves to the fused XLA gather: the Pallas
-        # windowed gather is correct but trips a repeated-dispatch TPU
-        # runtime bug in this environment (see ops/pallas/gather.py and
-        # memory notes); opt in explicitly with gather_impl='pallas'.
+        # 'auto' resolves to the fused XLA gather. History: the Pallas
+        # windowed gather tripped a repeated-dispatch TPU runtime fault in
+        # the round-3/4 environment image (docs/pallas_fault_repro.py); on
+        # the round-5 image the fault no longer reproduces and the kernel
+        # runs correctly — but measured END-TO-END it is SLOWER than the
+        # XLA flat take (17.17 vs 30.44 pairs/s, BENCH_GATHER=pallas,
+        # docs/PERF.md round-5 table), so it stays opt-in on performance
+        # grounds, not correctness.
         return self.gather_impl == 'pallas'
 
     @nn.compact
