@@ -155,6 +155,13 @@ def main():
     v = os.environ.get('BENCH_BUDGETS')
     if v is not None:
         cfg['level_budgets'] = [int(x) for x in v.split(',')]
+    # Neighborhood-limit (K) reduction: the KPConv gather stage is linear in
+    # K (docs/PERF.md: 15M rows at XLA's per-row issue ceiling), so a
+    # tighter cap than the calibrated p80 trades neighbor coverage for
+    # gather time. BENCH_LIMITS="20,25,28" overrides per-level.
+    v = os.environ.get('BENCH_LIMITS')
+    if v is not None:
+        cfg['neighborhood_limits'] = [int(x) for x in v.split(',')]
     model = build_model('regtr.RegTR', cfg)
 
     # throughput = pairs/sec. KITTI runs batch 1 like the reference

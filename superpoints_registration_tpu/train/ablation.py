@@ -37,10 +37,23 @@ VARIANTS = [
     # neighbors drop to shadow; its accuracy cost gates flipping
     # gather_impl's default (VERDICT r4 item 3).
     ('pallas windowed-DMA gather', {'gather_impl': 'pallas'}),
-    # The full promotion candidate (VERDICT r4 item 2): every throughput
-    # lever at once — gated on THIS row staying inside the 0.5% guardrail.
     ('promoted stack (recall 0.90 + pallas gather)',
      {'neighbor_recall': 0.90, 'gather_impl': 'pallas'}),
+    # Tightened L0 operating point (VERDICT r4 weak-1d): eval-time budget
+    # reduction drops only pad/overflow rows; its recall cost gates the
+    # BENCH_BUDGETS promotion. Scaled to this corpus's trained budgets
+    # (16384/5760/1792 -> ~93.75% at L0).
+    ('tightened budgets (15360/5400/1680)',
+     {'level_budgets': [15360, 5400, 1680]}),
+    # The round-5 promotion candidate (VERDICT r4 item 2): the two levers
+    # that measured FASTER end-to-end (docs/PERF.md round-5 table: +16.3%
+    # combined) — gated on THIS row staying inside the 0.5% guardrail.
+    ('promoted stack (recall 0.90 + tightened budgets)',
+     {'neighbor_recall': 0.90, 'level_budgets': [15360, 5400, 1680]}),
+    # K-cap reduction below the calibrated p80 (linear lever on the gather
+    # stage, docs/PERF.md round-5): drops the farthest ~p60-p80 neighbors.
+    ('neighborhood limits 20/25/28 (below-p80 K cap)',
+     {'neighborhood_limits': [20, 25, 28]}),
     # Pose-solver variants (all eval-time switches, qk_regtr_full.py options):
     ('kabsch on hard correspondences (no sinkhorn)', {'use_sinkhorn': False}),
     ('sinkhorn + LGR refinement', {'use_lgr': True}),
