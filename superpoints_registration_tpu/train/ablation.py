@@ -22,6 +22,7 @@ VARIANTS = [
     ('baseline (approx 0.95, bf16 gather, bf16 transformer)', {}),
     ('exact neighbor top-k', {'neighbor_exact': True}),
     ('approx_max_k recall 0.90', {'neighbor_recall': 0.90}),
+    ('approx_max_k recall 0.85', {'neighbor_recall': 0.85}),
     ('approx_max_k recall 0.99', {'neighbor_recall': 0.99}),
     ('f32 gather tables', {'gather_dtype': 'float32'}),
     ('f32 transformer compute', {'transformer_compute_dtype': 'float32'}),
