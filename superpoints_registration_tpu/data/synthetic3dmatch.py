@@ -152,8 +152,42 @@ def make_room(rng: np.random.Generator, extent: float = 3.0,
     return _voxel_downsample(np.concatenate(parts), voxel)
 
 
+def _frame_rotation(rng, frame_dist: str, tilt_deg: float) -> np.ndarray:
+    """Per-fragment local-frame rotation.
+
+    'so3_uniform' draws uniformly over SO(3): relative rotations between
+    fragments then average 126 deg — a full-rotation-invariance task that is
+    HARDER than the reference's actual benchmark (real 3DMatch fragments come
+    from a roughly-upright handheld RGB-D camera; the v5 corpus that trained
+    to 0.966 used a narrower distribution, per the round-3/4 root-cause in
+    RESULTS.md). 'upright' models that geometry: free yaw about gravity plus
+    a small tilt about a random horizontal axis (|angle| ~ N(0, tilt_deg)
+    clipped at 2 sigma)."""
+    if frame_dist == 'so3_uniform':
+        return lie_np.sample_rotation_uniform(rng)
+    if frame_dist != 'upright':
+        raise ValueError(f"unknown frame_dist '{frame_dist}'")
+    yaw = rng.uniform(0.0, 2 * np.pi)
+    return _upright_rotation(rng, yaw, tilt_deg)
+
+
+def _upright_rotation(rng, yaw: float, tilt_deg: float) -> np.ndarray:
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    rz = np.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
+    ang = np.clip(rng.normal(0.0, np.deg2rad(tilt_deg)),
+                  -2 * np.deg2rad(tilt_deg), 2 * np.deg2rad(tilt_deg))
+    phi = rng.uniform(0.0, 2 * np.pi)
+    axis = np.array([np.cos(phi), np.sin(phi), 0.0])   # horizontal axis
+    k = np.array([[0.0, -axis[2], axis[1]],
+                  [axis[2], 0.0, -axis[0]],
+                  [-axis[1], axis[0], 0.0]])
+    tilt = np.eye(3) + np.sin(ang) * k + (1 - np.cos(ang)) * (k @ k)
+    return tilt @ rz
+
+
 def _make_fragments(rng, room: np.ndarray, n_fragments: int,
-                    min_points: int, max_points: int, noise: float):
+                    min_points: int, max_points: int, noise: float,
+                    frame_dist: str = 'so3_uniform', tilt_deg: float = 15.0):
     """Partial views of `room`: nearest-K crops around a random-walk of view
     centers. Returns (clouds local-frame, poses world->local (F,3,4),
     index sets into `room`)."""
@@ -163,20 +197,30 @@ def _make_fragments(rng, room: np.ndarray, n_fragments: int,
     center = room[rng.integers(len(room))]
 
     clouds, poses, index_sets = [], [], []
+    # In 'upright' mode the camera yaw random-walks WITH the view center
+    # (sigma 35 deg, fresh draw on a jump), so high-overlap pairs — the ones
+    # that become 3DMatch-split pairs — also have moderate relative yaw,
+    # matching sequential handheld scanning; low-overlap (3DLoMatch) pairs
+    # keep near-arbitrary relative yaw.
+    yaw = rng.uniform(0.0, 2 * np.pi)
     for _ in range(n_fragments):
         # Random-walk the view center (with occasional jumps to a fresh spot):
         # consecutive fragments overlap heavily, distant ones weakly — the
         # overlap statistics of sequential RGB-D scans.
         if rng.uniform() < 0.25:
             center = room[rng.integers(len(room))]
+            yaw = rng.uniform(0.0, 2 * np.pi)
         else:
             center = np.clip(center + rng.normal(0, 1.4, 3), lo, hi)
+            yaw = yaw + rng.normal(0.0, np.deg2rad(35.0))
         k = min(int(rng.integers(min_points, max_points + 1)), len(room))
         _, idx = tree.query(center, k=k)
         idx = np.atleast_1d(idx)
         world_pts = room[idx]
 
-        rot = lie_np.sample_rotation_uniform(rng)
+        rot = (_upright_rotation(rng, yaw, tilt_deg)
+               if frame_dist == 'upright'
+               else _frame_rotation(rng, frame_dist, tilt_deg))
         centroid = world_pts.mean(0)
         trans = (-rot @ centroid[:, None]
                  + rng.normal(0, 0.05, (3, 1)))       # world -> local
@@ -244,7 +288,8 @@ def generate(out: str, train_scenes: int = 200, val_scenes: int = 8,
              test_scenes: int = 8, fragments_per_scene: int = 8,
              seed: int = 0, extent: float = 3.0, min_points: int = 9000,
              max_points: int = 16384, noise: float = 0.002,
-             overlap_hi: float = 0.30, overlap_lo: float = 0.10) -> dict:
+             overlap_hi: float = 0.30, overlap_lo: float = 0.10,
+             frame_dist: str = 'so3_uniform', tilt_deg: float = 15.0) -> dict:
     """Generate the corpus. Returns a summary dict with pair counts."""
     os.makedirs(os.path.join(out, 'metadata'), exist_ok=True)
     import torch
@@ -263,7 +308,8 @@ def generate(out: str, train_scenes: int = 200, val_scenes: int = 8,
                      else f'val-scene_{s:04d}')
             room = make_room(rng, extent=extent)
             clouds, poses, index_sets = _make_fragments(
-                rng, room, fragments_per_scene, min_points, max_points, noise)
+                rng, room, fragments_per_scene, min_points, max_points, noise,
+                frame_dist=frame_dist, tilt_deg=tilt_deg)
 
             scene_dir = os.path.join(out, cloud_split, scene)
             os.makedirs(scene_dir, exist_ok=True)
@@ -354,11 +400,18 @@ def main(argv=None):
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--extent', type=float, default=3.0)
     p.add_argument('--noise', type=float, default=0.002)
+    p.add_argument('--frame-dist', default='so3_uniform',
+                   choices=['so3_uniform', 'upright'],
+                   help='fragment local-frame rotation distribution '
+                        '(upright = free yaw + small tilt, like real '
+                        'handheld RGB-D fragments)')
+    p.add_argument('--tilt-deg', type=float, default=15.0)
     args = p.parse_args(argv)
     s = generate(args.out, train_scenes=args.train_scenes,
                  val_scenes=args.val_scenes, test_scenes=args.test_scenes,
                  fragments_per_scene=args.fragments, seed=args.seed,
-                 extent=args.extent, noise=args.noise)
+                 extent=args.extent, noise=args.noise,
+                 frame_dist=args.frame_dist, tilt_deg=args.tilt_deg)
     print(json.dumps(s))
     return s
 
