@@ -201,18 +201,23 @@ def _make_fragments(rng, room: np.ndarray, n_fragments: int,
     # (sigma 35 deg, fresh draw on a jump), so high-overlap pairs — the ones
     # that become 3DMatch-split pairs — also have moderate relative yaw,
     # matching sequential handheld scanning; low-overlap (3DLoMatch) pairs
-    # keep near-arbitrary relative yaw.
-    yaw = rng.uniform(0.0, 2 * np.pi)
+    # keep near-arbitrary relative yaw. All yaw draws are gated on the mode
+    # so 'so3_uniform' consumes the exact rng stream of earlier corpus
+    # versions (v6 stays regenerable byte-for-byte).
+    upright = frame_dist == 'upright'
+    yaw = rng.uniform(0.0, 2 * np.pi) if upright else 0.0
     for _ in range(n_fragments):
         # Random-walk the view center (with occasional jumps to a fresh spot):
         # consecutive fragments overlap heavily, distant ones weakly — the
         # overlap statistics of sequential RGB-D scans.
         if rng.uniform() < 0.25:
             center = room[rng.integers(len(room))]
-            yaw = rng.uniform(0.0, 2 * np.pi)
+            if upright:
+                yaw = rng.uniform(0.0, 2 * np.pi)
         else:
             center = np.clip(center + rng.normal(0, 1.4, 3), lo, hi)
-            yaw = yaw + rng.normal(0.0, np.deg2rad(35.0))
+            if upright:
+                yaw = yaw + rng.normal(0.0, np.deg2rad(35.0))
         k = min(int(rng.integers(min_points, max_points + 1)), len(room))
         _, idx = tree.query(center, k=k)
         idx = np.atleast_1d(idx)
