@@ -35,8 +35,13 @@ try4("resnetb_strided", ResnetBottleneckBlock(block_name='resnetb_strided', in_d
                                               layer_ind=0, config=scfg),
      jnp.ones((4, 256, 16), jnp.float32))
 
-# NOTE: This script reproduces an environment-level TPU runtime fault
-# ("INVALID_ARGUMENT: TPU backend error" on the 2nd+ dispatch, device then
-# poisoned) when the repo's Pallas gather kernels run inside flax KPConv
-# blocks. The byte-equivalent hand-written math in pallas_fault_nonrepro.py
-# passes deterministically. See memory notes / ops/pallas/gather.py.
+# NOTE: On the round-3/4 environment image this script reproduced an
+# environment-level TPU runtime fault ("INVALID_ARGUMENT: TPU backend
+# error" on the 2nd+ dispatch, device then poisoned) when the repo's Pallas
+# gather kernels ran inside flax KPConv blocks, while the byte-equivalent
+# hand-written math in pallas_fault_nonrepro.py passed deterministically.
+# RESOLVED UPSTREAM: on the round-5 image (2026-08-20) all blocks pass x4
+# dispatches — the fault was a runtime bug, not a kernel bug, as diagnosed.
+# The kernel stays opt-in anyway: measured end-to-end it is slower (17.17
+# vs 30.44 pairs/s) and less accurate (-0.62% recall) than the fused XLA
+# take. See docs/PERF.md round-5 + docs/ABLATION.md.
